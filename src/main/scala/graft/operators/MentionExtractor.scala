@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.model.{GazRow, Mention, Segment}
+import graft.util.DetHash
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Dataset
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+
+/** Mention detection (SURVEY.md §2.9): the dictionary-NER core. Three
+  * deterministic ensemble variants replace the reference's stochastic
+  * "3 independent LLM rounds" (`src/app.py:957-966`) while preserving the
+  * try_index / unique / confidence semantics (`src/app.py:972-1004`):
+  *
+  *   - try 0 "strict":    every gazetteer alias, exact normalized tokens
+  *   - try 1 "preferred": only ISPREF='Y' aliases (misses SY forms)
+  *   - try 2 "stemmed":   every alias, plural-stripped tokens (catches
+  *                        pluralized surfaces the exact variants miss)
+  *
+  * Matching is longest-match-wins, leftmost-first over non-overlapping spans
+  * (MedCAT-style; golden `data/pipe_result/...MedCAT.json` shows the same
+  * policy). Alias ambiguity (one surface, many concepts) resolves by
+  * (TTY rank PT<FN<SY, then min cui) — pinned for reproducibility.
+  */
+object MentionExtractor {
+
+  final case class Payload(cui: String, source: String, code: String,
+      alias: String, ttyRank: Int)
+
+  final class Variant(val ac: AhoCorasick, val payloads: Array[Payload],
+      val stem: Boolean, val acc: Double)
+
+  def ttyRank(tty: String): Int = tty match {
+    case "PT" => 0; case "FN" => 1; case _ => 2
+  }
+
+  /** ASCII tokenizer with char offsets over the ORIGINAL text — matching
+    * never mutates the text, so span offsets are exact by construction (the
+    * reference needs difflib re-alignment `src/algorithms/llm_ner.py:185-256`
+    * because its LLM rewrites text; we don't). */
+  def tokenize(text: String): (Array[String], Array[Int], Array[Int]) = {
+    val toks = new mutable.ArrayBuffer[String]
+    val starts = new mutable.ArrayBuffer[Int]
+    val ends = new mutable.ArrayBuffer[Int]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isLetterOrDigit(c)) {
+        val s = i
+        while (i < n && Character.isLetterOrDigit(text.charAt(i))) i += 1
+        toks += text.substring(s, i).toLowerCase
+        starts += s
+        ends += i
+      } else i += 1
+    }
+    (toks.toArray, starts.toArray, ends.toArray)
+  }
+
+  def stemToken(t: String): String =
+    if (t.length > 3 && t.endsWith("s") && !t.endsWith("ss")) t.dropRight(1) else t
+
+  def buildVariant(gaz: Array[GazRow], variant: Int): Variant = {
+    val rows = variant match {
+      case 1 => gaz.filter(_.ispref == "Y")
+      case _ => gaz
+    }
+    val stem = variant == 2
+    // one pattern per distinct normalized token-seq; payload = best row
+    val byPattern = mutable.LinkedHashMap.empty[List[String], Payload]
+    rows.foreach { r =>
+      val toks0 = tokenize(r.str)._1
+      val toks = if (stem) toks0.map(stemToken) else toks0
+      if (toks.nonEmpty) {
+        val key = toks.toList
+        val cand = Payload(r.cui, r.sab, r.code, r.str, ttyRank(r.tty))
+        byPattern.get(key) match {
+          case Some(old)
+            if (old.ttyRank < cand.ttyRank) ||
+               (old.ttyRank == cand.ttyRank && old.cui <= cand.cui) => ()
+          case _ => byPattern.update(key, cand)
+        }
+      }
+    }
+    val pats = byPattern.keys.map(_.toArray).toArray
+    val pays = byPattern.values.toArray
+    new Variant(AhoCorasick.build(pats), pays, stem, if (stem) 0.9 else 0.99)
+  }
+
+  /** Executor-local automaton cache keyed by (gazetteer identity, variant):
+    * built once per JVM, reused by every partition/task. */
+  private val cache = TrieMap.empty[(Long, Int), Variant]
+
+  def variantFor(bcId: Long, gaz: => Array[GazRow], v: Int): Variant =
+    cache.getOrElseUpdate((bcId, v), buildVariant(gaz, v))
+
+  /** Match one segment with one variant; offsets in TURN coordinates. */
+  def matchSegment(seg: Segment, vIdx: Int, variant: Variant): Iterator[Mention] = {
+    val (toks0, starts, ends) = tokenize(seg.seg_text)
+    val toks = if (variant.stem) toks0.map(stemToken) else toks0
+    val ids = toks.map(variant.ac.tokenId)
+    val hits = variant.ac.findAll(ids)
+    if (hits.isEmpty) return Iterator.empty
+    // longest-match-wins, leftmost-first, non-overlapping
+    val sorted = hits.sortBy { case (s, e, pid) => (s, -e, variant.payloads(pid).ttyRank) }
+    val out = new mutable.ArrayBuffer[Mention]
+    var lastEnd = -1 // token index
+    sorted.foreach { case (ts, te, pid) =>
+      if (ts >= lastEnd) {
+        val p = variant.payloads(pid)
+        out += Mention(seg.conv_id, seg.turn_idx, vIdx,
+          seg.seg_start + starts(ts), seg.seg_start + ends(te - 1),
+          seg.seg_text.substring(starts(ts), ends(te - 1)),
+          p.cui, p.source, p.code, p.alias, variant.acc)
+        lastEnd = te
+      }
+    }
+    out.iterator
+  }
+
+  /** The operator: 3-variant ensemble NER as one narrow flatMap. */
+  def extract(segments: Dataset[Segment], gazB: Broadcast[Array[GazRow]]): Dataset[Mention] = {
+    import segments.sparkSession.implicits._
+    segments.flatMap { seg =>
+      (0 to 2).iterator.flatMap { v =>
+        matchSegment(seg, v, variantFor(gazB.id, gazB.value, v))
+      }
+    }
+  }
+
+  /** Deterministic mention id for voting/CC nodes (no uuid4 — F3). */
+  def mentionId(m: Mention): Long =
+    DetHash.h(DetHash.hs(m.conv_id), m.turn_idx.toLong, m.try_index.toLong,
+      m.start.toLong, m.end.toLong, DetHash.hs(m.source + ":" + m.code))
+}

@@ -1,0 +1,104 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import graft.model.Turn
+import graft.util.DetHash._
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic synthetic transcripts table (graft `input_hint`:
+  * `(conv_id, turn_idx, role, text, tool, ts)`). The reference's input is
+  * one medical document per task (xlsx/csv rows,
+  * `src/small_tasks/dhp_fhir_tool1_v1.py:112-121`); here the analogue is a
+  * conversation of turns. Every value is a pure function of
+  * (conv index, turn index) — re-running the generator at any parallelism
+  * yields byte-identical rows (the per-turn text-equality invariant).
+  *
+  * Skew by construction: conv 0 is a "mega conversation" holding ~5% of all
+  * turns (SURVEY.md §4 skew handling); remaining conv sizes ∈ [2, 40).
+  */
+object SynthTranscripts {
+
+  val fillers: Vector[String] = Vector(
+    "patient", "was", "seen", "today", "with", "stable", "signs", "review",
+    "of", "notes", "and", "plan", "for", "follow", "up", "visit", "care",
+    "team", "noted", "during", "exam", "the", "results", "were", "within",
+    "normal", "range", "no", "new", "issues", "found", "continue", "current",
+    "course", "monitor", "weekly", "report", "any", "change", "discussed")
+
+  val tools: Vector[String] =
+    Vector("search", "calculator", "retrieval", "browser", "coder")
+
+  private val baseEpochMs = 1700000000000L // fixed; never wall-clock
+
+  def convId(c: Long): String = f"conv_$c%06d"
+
+  def convSize(c: Long, nConvs: Int): Int =
+    if (c == 0L) math.max(nConvs, 40) // mega conversation
+    else 2 + pos(h(c, 9L), 38)
+
+  def roleOf(c: Long, t: Int): String = {
+    val r = pos(h(c, t.toLong, 6L), 10)
+    if (r < 5) "user" else if (r < 9) "assistant" else "tool"
+  }
+
+  def toolOf(c: Long, t: Int, role: String): Option[String] =
+    if (role == "tool") Some(tools(pos(h(c, t.toLong, 11L), tools.length)))
+    else if (role == "assistant" && pos(h(c, t.toLong, 12L), 4) == 0)
+      Some(tools(pos(h(c, t.toLong, 13L), tools.length)))
+    else None
+
+  def tsOf(c: Long, t: Int): Timestamp =
+    new Timestamp(baseEpochMs + c * 86400000L + t * 60000L)
+
+  private def pluralize(surface: String): String = surface + "s"
+
+  /** Turn text: 1..18 lines, occasional blank-line paragraph breaks
+    * (to exercise the `\n\n` split, reference `src/app.py:218-224`), ~40% of
+    * lines carry one planted gazetteer surface, sometimes pluralized (only
+    * the stemmed ensemble variant catches those). */
+  def turnText(c: Long, t: Int, surfaces: Vector[String]): String = {
+    val nLines = 1 + pos(h(c, t.toLong, 1L), 18)
+    val sb = new StringBuilder
+    var j = 0
+    while (j < nLines) {
+      val nWords = 4 + pos(h(c, t.toLong, j.toLong, 2L), 5)
+      val words = Array.tabulate(nWords)(w =>
+        fillers(pos(h(c, t.toLong, j.toLong, 3L, w.toLong), fillers.length)))
+      val line =
+        if (pos(h(c, t.toLong, j.toLong, 4L), 10) < 4 && surfaces.nonEmpty) {
+          val si = pos(h(c, t.toLong, j.toLong, 5L), surfaces.length)
+          val s0 = surfaces(si)
+          val s = if (pos(h(c, t.toLong, j.toLong, 7L), 5) == 0) pluralize(s0) else s0
+          val at = pos(h(c, t.toLong, j.toLong, 8L), nWords + 1)
+          (words.take(at) ++ Array(s) ++ words.drop(at)).mkString(" ")
+        } else words.mkString(" ")
+      sb.append(line)
+      if (j < nLines - 1)
+        sb.append(if (pos(h(c, t.toLong, j.toLong, 14L), 7) == 0) "\n\n" else "\n")
+      j += 1
+    }
+    sb.toString
+  }
+
+  def mkTurn(c: Long, t: Int, surfaces: Vector[String]): Turn = {
+    val role = roleOf(c, t)
+    Turn(convId(c), t, role, turnText(c, t, surfaces), toolOf(c, t, role), tsOf(c, t))
+  }
+
+  /** Distributed generation: narrow flatMap over conv indices — no shuffle,
+    * any partitioning yields identical rows. */
+  def turns(spark: SparkSession, nConvs: Int, nBaseConcepts: Int): Dataset[Turn] = {
+    import spark.implicits._
+    val surfaces = Gazetteer.plantableSurfaces(nBaseConcepts)
+    val n = nConvs
+    spark.range(0, n.toLong, 1, math.min(n, 64)).as[Long].flatMap { c =>
+      val size = convSize(c, n)
+      (0 until size).iterator.map(t => mkTurn(c, t, surfaces))
+    }
+  }
+
+  /** Total turn count for sizing/throughput math (driver-side arithmetic). */
+  def totalTurns(nConvs: Int): Long =
+    (0L until nConvs.toLong).map(c => convSize(c, nConvs).toLong).sum
+}
