@@ -1,0 +1,55 @@
+package graft
+
+import graft.model.{GazRow, Triple, Turn}
+import graft.operators._
+import graft.sources.{Gazetteer, SynthTranscripts}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** End-to-end KG construction DAG (SURVEY.md §3.1 Spark restatement):
+  *
+  *   turns -> segments (narrow) -> mentions ×3 (narrow flatMap over
+  *   broadcast automaton) -> linked (broadcast joins) -> voted (one shuffle
+  *   by conv/turn) -> per-turn agg (shuffle by (conv,turn,source,code),
+  *   partial agg map-side) -> triples (union; asserts adds the per-conv
+  *   merge) — exactly two wide boundaries before the write.
+  */
+object Pipeline {
+
+  final case class Config(nConvs: Int, nBase: Int,
+      iouThreshold: Double = 0.3, voteThreshold: Double = 0.5)
+
+  def gazetteer(spark: SparkSession, cfg: Config): (DataFrame, Array[GazRow]) = {
+    import spark.implicits._
+    val rows = Gazetteer.rows(cfg.nBase)
+    (rows.toDF(), rows.toArray)
+  }
+
+  def turns(spark: SparkSession, cfg: Config): Dataset[Turn] =
+    SynthTranscripts.turns(spark, cfg.nConvs, cfg.nBase)
+
+  def mentions(spark: SparkSession, cfg: Config, turnsDf: DataFrame): DataFrame = {
+    val gazB = spark.sparkContext.broadcast(Gazetteer.rows(cfg.nBase).toArray)
+    MentionExtractor.extract(Segmentation.segments(turnsDf), gazB).toDF()
+  }
+
+  def linked(spark: SparkSession, cfg: Config, m: DataFrame): DataFrame =
+    Linking.link(m, gazetteer(spark, cfg)._1)
+
+  /** Full run: returns the triples dataset (lazy — caller writes/counts). */
+  def triples(spark: SparkSession, cfg: Config): Dataset[Triple] = {
+    val t = turns(spark, cfg).toDF()
+    val m = mentions(spark, cfg, t)
+    val l = linked(spark, cfg, m)
+    val turnAgg = Aggregation.perTurn(l)
+    Triples.all(turnAgg, t)
+  }
+
+  /** Voted variant of the mention stream (the reference's
+    * `dhp_fhir_tool1_v1voting.py` path). */
+  def voted(spark: SparkSession, cfg: Config) = {
+    import spark.implicits._
+    val t = turns(spark, cfg).toDF()
+    Voting.vote(mentions(spark, cfg, t).as[graft.model.Mention],
+      cfg.iouThreshold, cfg.voteThreshold)
+  }
+}

@@ -1,66 +1,359 @@
 package graft
 
-import graft.operators.{MentionExtractor, Segmentation}
-import graft.sources.{Gazetteer, SynthTranscripts}
+import graft.operators._
+import graft.sources.Gazetteer
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `queries` entries paired with `oracleSql` are DuckDB-checked by the
-  * driver on /root/testdata parquet; KG-pipeline entries (prefix `kg_`)
-  * have no SQL equivalent and get a rows-only check — their correctness
-  * gate is the ScalaTest oracle suite (`sbt -batch test`).
+  * Naming: `qNN_*` = SQL-expressible operator queries, DuckDB-checked by
+  * the driver (exact column-name + value parity with `oracleSql`);
+  * `kg_*` = the knowledge-graph pipeline over the synthetic transcripts
+  * corpus (non-SQL; rows-only check here, full independent-oracle gate in
+  * `sbt -batch test`); `dd_*`/`sim_*`/`txt_*` = training-data-pipeline
+  * operators (dedup / similarity / text analysis) over documents and
+  * embeddings.
   */
 object SparkEntry {
 
-  /** Scale knobs for the synthetic transcripts corpus derived from the
-    * sf directory name (sf0.001 -> small smoke, sf0.1 -> bench). */
+  /** Scale knobs for the synthetic transcripts corpus from the sf dir. */
   def scaleOf(sfDir: String): (Int, Int) = {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.001)
-    val nConvs = math.max(60, (20000 * sf).toInt) // mega conv 0 ≈ nConvs turns
+    val nConvs = math.max(60, (20000 * sf).toInt)
     val nBase = 192
     (nConvs, nBase)
   }
 
-  private def table(s: SparkSession, sfDir: String, name: String): DataFrame =
-    s.read.parquet(s"$sfDir/$name.parquet")
-
-  /** Flagship: synthetic transcripts -> segments -> 3-variant NER mentions. */
-  def entry(spark: SparkSession): DataFrame = {
-    val (nConvs, nBase) = scaleOf("sf0.001")
-    val gazB = spark.sparkContext.broadcast(Gazetteer.rows(nBase).toArray)
-    val turns = SynthTranscripts.turns(spark, nConvs, nBase)
-    MentionExtractor.extract(Segmentation.segments(turns.toDF()), gazB).toDF()
+  def cfgOf(sfDir: String): Pipeline.Config = {
+    val (nConvs, nBase) = scaleOf(sfDir)
+    Pipeline.Config(nConvs, nBase)
   }
 
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full KG construction — transcripts to triples. */
+  def entry(spark: SparkSession): DataFrame =
+    Pipeline.triples(spark, cfgOf("sf0.001")).toDF()
+
+  // ---------------------------------------------------------------- queries
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1/A3 two-phase hash agg analogue (SURVEY §2.4) on lineitem
-    "q01_agg" -> ((s, dir) => {
-      table(s, dir, "lineitem")
+
+    // ---- SQL-oracle operator queries (SURVEY.md §2 inventory) ----
+
+    // A1/A3: two-phase hash agg with distinct agg
+    "q01_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
           count(lit(1)).as("cnt"),
-          countDistinct(col("l_orderkey")).as("n_orders"))
+          countDistinct(col("l_orderkey")).as("n_orders"))),
+
+    // P1/P3: predicate + projection (pushed to the parquet scan)
+    "q02_filter_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") < 5 && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))),
+
+    // J1: broadcast hash join, dimension side hinted
+    "q03_broadcast_join" -> ((s, dir) =>
+      t(s, dir, "orders").join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))),
+
+    // J2: chained lookups (fact -> orders -> customer -> nation crosswalk)
+    "q04_two_hop_join" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("rev"))),
+
+    // W4/J4: latest-per-key (supersede semantics)
+    "q05_latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
     }),
-    // KG pipeline slice (rows-only check; oracle lives in ScalaTest)
+
+    // W5/O3: top-k per group
+    "q06_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id").asc)
+      t(s, dir, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("rn"), col("event_id"), round(col("value"), 4).as("v"))
+    }),
+
+    // W2: running offset (the global char-offset splice analogue)
+    "q07_running_offset" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          coalesce(sum(col("n_chars") + lit(2)).over(w), lit(0)).cast("long").as("offset"))
+    }),
+
+    // W6/J5: lag transition pairing (replies_to analogue)
+    "q08_lag_transition" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // U1/U2: tagged union of per-model predictions
+    "q09_union" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("value") > 50).withColumn("model_id", lit(0))
+        .unionByName(e.filter(col("event_type") === "click").withColumn("model_id", lit(1)))
+        .groupBy(col("model_id"), col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
+    // U3/J4: anti join (resume: not-yet-processed)
+    "q10_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))),
+
+    // A1 unique: distinct aggregation
+    "q11_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          round(avg(col("value")), 4).as("avg_v"))),
+
+    // P2: preferred-term ranking (CASE priority + row_number)
+    "q12_preferred_rank" -> ((s, dir) => {
+      val pri = when(col("l_returnflag") === "R", 0)
+        .when(col("l_returnflag") === "A", 1).otherwise(2)
+      // l_linenumber is NOT unique per order in this synthetic data —
+      // l_partkey completes the deterministic tie-break
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("pri"), col("l_linenumber"), col("l_partkey"))
+      t(s, dir, "lineitem").withColumn("pri", pri)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+    }),
+
+    // J3: interval self-join (span-overlap analogue on event times)
+    "q13_interval_selfjoin" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val a = e.select(col("user_id"), col("ts").as("a_ts"), col("event_type").as("a_type"))
+      val b = e.select(col("user_id"), col("ts").as("b_ts"), col("event_type").as("b_type"))
+      a.join(b, Seq("user_id"))
+        .filter(col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("a_type"), col("b_type")).agg(count(lit(1)).as("n"))
+    }),
+
+    // P7: completeness predicate (all types present per key)
+    "q14_completeness" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val total = e.agg(countDistinct(col("event_type"))).head().getLong(0)
+      e.groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("nt"))
+        .filter(col("nt") === total)
+        .agg(count(lit(1)).as("n_complete_users"))
+    }),
+
+    // A3 rollup: hierarchy subtotals
+    "q15_rollup" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))),
+
+    // ---- training-data ops: dedup / text / similarity ----
+
+    "dd_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    "txt_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))),
+
+    "txt_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))),
+
+    "txt_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "txt_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("source"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("fp")).as("n_distinct"), count(lit(1)).as("n"))),
+
+    "sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+    }),
+
+    // rows-only (non-SQL-expressible): LSH / signature ops
+    "sim_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.lshTopK(emb, "vec_id", "embedding", q, 5)
+    }),
+    "dd_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        m = 32, bands = 16, threshold = 0.2)
+        .orderBy("id_a", "id_b")),
+    "dd_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 12)
+        .orderBy("id_a", "id_b")),
+    "dd_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.05, maxDf = 100)
+        .orderBy("id_a", "id_b")),
+
+    // ---- KG pipeline (rows-only; ScalaTest oracle is the gate) ----
+
     "kg_mentions" -> ((s, dir) => {
-      val (nConvs, nBase) = scaleOf(dir)
-      val gazB = s.sparkContext.broadcast(Gazetteer.rows(nBase).toArray)
-      val turns = SynthTranscripts.turns(s, nConvs, nBase)
-      MentionExtractor.extract(Segmentation.segments(turns.toDF()), gazB)
-        .toDF()
+      val cfg = cfgOf(dir)
+      Pipeline.mentions(s, cfg, Pipeline.turns(s, cfg).toDF())
         .orderBy("conv_id", "turn_idx", "try_index", "start")
+    }),
+    "kg_linked" -> ((s, dir) => {
+      val cfg = cfgOf(dir)
+      Pipeline.linked(s, cfg, Pipeline.mentions(s, cfg, Pipeline.turns(s, cfg).toDF()))
+        .orderBy("conv_id", "turn_idx", "try_index", "start")
+    }),
+    "kg_voted" -> ((s, dir) =>
+      Pipeline.voted(s, cfgOf(dir)).toDF()
+        .orderBy("conv_id", "turn_idx", "start")),
+    "kg_triples" -> ((s, dir) =>
+      Pipeline.triples(s, cfgOf(dir)).toDF()
+        .orderBy("pred", "subj", "obj")),
+    "kg_canonical" -> ((s, dir) => {
+      import s.implicits._
+      val gaz = Gazetteer.rows(cfgOf(dir).nBase).toDF()
+      Canonicalize.canonicalConcepts(gaz).orderBy("concept_id")
     })
   )
 
+  // ------------------------------------------------------------- oracleSql
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |round(sum(l_quantity), 2) AS sum_qty,
-        |count(*) AS cnt,
-        |count(DISTINCT l_orderkey) AS n_orders
-        |FROM lineitem GROUP BY 1, 2""".stripMargin
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |count(*) AS cnt, count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem WHERE l_quantity < 5 AND l_discount > 0.05""".stripMargin,
+    "q03_broadcast_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
+    "q04_two_hop_join" ->
+      """SELECT n_name, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin,
+    "q05_latest_per_key" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q06_topk_per_group" ->
+      """SELECT event_type, rn, event_id, round(value, 4) AS v FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+    "q07_running_offset" ->
+      """SELECT doc_id, lang,
+        |CAST(coalesce(sum(n_chars + 2) OVER (PARTITION BY lang ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
+        |FROM documents""".stripMargin,
+    "q08_lag_transition" ->
+      """SELECT prev_type, event_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events) WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "q09_union" ->
+      """SELECT model_id, event_type, count(*) AS n FROM (
+        |  SELECT event_type, 0 AS model_id FROM events WHERE value > 50
+        |  UNION ALL
+        |  SELECT event_type, 1 AS model_id FROM events WHERE event_type = 'click'
+        |) GROUP BY 1, 2""".stripMargin,
+    "q10_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "q11_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |round(avg(value), 4) AS avg_v FROM events GROUP BY 1""".stripMargin,
+    "q12_preferred_rank" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber FROM (
+        |  SELECT l_orderkey, l_partkey, l_linenumber,
+        |         row_number() OVER (PARTITION BY l_orderkey ORDER BY
+        |           CASE WHEN l_returnflag = 'R' THEN 0 WHEN l_returnflag = 'A' THEN 1 ELSE 2 END,
+        |           l_linenumber, l_partkey) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+    "q13_interval_selfjoin" ->
+      """SELECT a.event_type AS a_type, b.event_type AS b_type, count(*) AS n
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |GROUP BY 1, 2""".stripMargin,
+    "q14_completeness" ->
+      """SELECT count(*) AS n_complete_users FROM (
+        |  SELECT user_id FROM events GROUP BY user_id
+        |  HAVING count(DISTINCT event_type) = (SELECT count(DISTINCT event_type) FROM events))""".stripMargin,
+    "q15_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "dd_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+        |count(*) AS dup_count FROM documents GROUP BY 1""".stripMargin,
+    "txt_tokens" ->
+      """SELECT doc_id,
+        |len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS ws_tokens,
+        |len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "txt_langid" ->
+      """SELECT lang_pred, count(*) AS n FROM (
+        |  SELECT CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) > 0
+        |    AND len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |          w -> w IN ('the','of','and','a','to','in')))
+        |        / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS DOUBLE) >= 0.02
+        |  THEN 'en' ELSE 'other' END AS lang_pred FROM documents) GROUP BY 1""".stripMargin,
+    "txt_quality" ->
+      """SELECT doc_id, round((
+        |  least(length(text) / 500.0, 1.0) +
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+        |  ELSE 0.0 END +
+        |  CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) > 0 THEN
+        |    least(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |            w -> w IN ('the','of','and','a','to','in')))
+        |      / CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS DOUBLE) * 10.0, 1.0)
+        |  ELSE 0.0 END) / 3.0, 6) AS quality
+        |FROM documents""".stripMargin,
+    "txt_fingerprint" ->
+      """SELECT source, count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_distinct,
+        |count(*) AS n FROM documents GROUP BY 1""".stripMargin,
+    "sim_topk" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings e ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin
   )
 }

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication suite (builder brief): exact,
+  * MinHash+LSH, SimHash and n-gram-Jaccard near-dup — each expressed so the
+  * expensive part stays inside whole-stage codegen (higher-order functions
+  * over arrays, no Python/driver loops) and the only shuffles are the
+  * bucket/groupBy joins that are information-theoretically required.
+  *
+  * Scale strategy per operator:
+  *  - exact:     one hash-groupBy (map-side partial agg collapses dups early)
+  *  - minhash:   signature = pure projection; LSH band join keys are
+  *               (band, band-hash) — candidate pairs ~ true-dup pairs, never
+  *               all-pairs; verification re-checks true Jaccard
+  *  - simhash:   64-bit signature projection + 4×16-bit band blocking +
+  *               bit_count(a^b) hamming verify
+  *  - ngram:     rare-shingle inverted join (df-capped prefix filter) so hot
+  *               shingles can't quadratically explode a bucket
+  */
+object Dedup {
+
+  /** Normalized word array of a text column. */
+  def words(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
+
+  /** k-word shingle hashes (distinct) as array<long>. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val ws = words(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(ws) - k, lit(0))),
+      i => xxhash64(array_join(slice(ws, i + 1, lit(k)), " "))))
+  }
+
+  /** Exact dedup: canonical row per identical text (md5 content key). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signature: m hash functions h_j(s) = xxhash64(s, j), each
+    * minimized over the shingle set — one projection, no shuffle. */
+  def minhashSignature(text: Column, m: Int = 32, k: Int = 3): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      j => array_min(transform(shingles(text, k), s => xxhash64(s, j))))
+
+  /** MinHash+LSH near-dup pairs: band the signature (b bands × r rows),
+    * join on equal band hash, verify estimated Jaccard = matching minhash
+    * fraction ≥ `threshold`. Returns (id_a, id_b, est_jaccard), id_a < id_b. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      m: Int = 32, bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+    val r = m / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), m).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)).cast("string"), b)))
+        .as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct() // a pair can collide in several bands
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          eq => eq)) / lit(m.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** SimHash-64 of the word multiset as a pure column expression: for each
+    * bit position, sum ±1 over token hashes and take the sign bit.
+    * (`call_function` because the Scala `shiftright`/`shiftleft` helpers
+    * only take literal Int shift amounts, not lambda-bound columns.) */
+  def simhash64(text: Column): Column = {
+    val tokenHashes = transform(words(text), w => xxhash64(w))
+    val bits = transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc +
+          when(call_function("shiftright", h, b.cast("int")).bitwiseAND(lit(1L)) === 1L,
+            lit(1L)).otherwise(lit(-1L))
+      ) > 0, lit(1L)).otherwise(lit(0L))
+        .multiply(call_function("shiftleft", lit(1L), b.cast("int"))))
+    aggregate(bits, lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup pairs: block on 4×16-bit sub-keys (a pair within
+    * hamming distance ≤ 3 of 64 bits must agree exactly on ≥1 of 4 blocks),
+    * verify with bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val blocked = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sig"), (b * 16).cast("int"))
+          .bitwiseAND(lit(0xffffL))))
+        .as(Seq("block", "bkey")))
+    val a = blocked.select(col("block"), col("bkey"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = blocked.select(col("block"), col("bkey"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("block", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** n-gram Jaccard pairs via a rare-shingle inverted join: only shingles
+    * with document frequency ≤ maxDf generate candidates (prefix-filter
+    * against hot-shingle quadratic blowup); true Jaccard verified from the
+    * full shingle sets. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sh.select(col("id"), col("sh"), explode(col("sh")).as("s"))
+    val dfCount = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val rare = inv.join(dfCount.filter(col("df") <= maxDf), "s")
+    val pairs = rare.select(col("s"), col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(rare.select(col("s"), col("id").as("id_b"), col("sh").as("sh_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+    pairs
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni",
+        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter") / col("uni").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity linking (SURVEY.md §2.3 J1/J2, §2.11 L1-L4).
+  *
+  * The gazetteer is the DIMENSION side everywhere: a few hundred MB at
+  * production scale vs TBs of mentions, so every join here is an explicit
+  * `broadcast()` hash join — no shuffle of the fact side (reference holds
+  * the whole `umls_df` in memory per process, `dhp_fhir_tool1_v1.py:65`).
+  */
+object Linking {
+
+  /** P2 preferred-term ranking (reference `dhp_fhir_tool1_v1.py:228-243`):
+    * within (cui, sab) prefer ISPREF='Y'&&TTY='PT', then 'Y'&&'FN', then
+    * any 'Y', else anything; deterministic tie-break on (code, str). */
+  def ttyRankCol: org.apache.spark.sql.Column =
+    when(col("ispref") === "Y" && col("tty") === "PT", 0)
+      .when(col("ispref") === "Y" && col("tty") === "FN", 1)
+      .when(col("ispref") === "Y", 2)
+      .otherwise(3)
+
+  /** (cui, sab) -> preferred concept_name + code. */
+  def preferredPerCuiSab(gaz: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cui", "sab")
+      .orderBy(col("rank"), col("code"), col("str"))
+    gaz.withColumn("rank", ttyRankCol)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cui"), col("sab"), col("code"),
+        col("str").as("preferred_name"))
+  }
+
+  /** L4 ICD10CM crosswalk rows: cui -> first ICD10CM (code, name)
+    * (reference `app.py:891-917`; miss -> N/A handled by the left join). */
+  def icd10Crosswalk(gaz: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cui").orderBy(col("rank"), col("code"), col("str"))
+    gaz.filter(col("sab") === "ICD10CM")
+      .withColumn("rank", ttyRankCol)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cui"), col("code").as("icd10_code"), col("str").as("icd10_name"))
+  }
+
+  /** J1 + J2: enrich mentions with the preferred concept name of their own
+    * vocabulary and the ICD10CM crosswalk. Both joins broadcast. */
+  def link(mentions: DataFrame, gaz: DataFrame): DataFrame = {
+    val pref = preferredPerCuiSab(gaz)
+      .withColumnRenamed("sab", "p_sab").withColumnRenamed("code", "p_code")
+      .withColumnRenamed("cui", "p_cui")
+    val xwalk = icd10Crosswalk(gaz).withColumnRenamed("cui", "x_cui")
+    mentions
+      .join(broadcast(pref),
+        mentions("cui") === pref("p_cui") &&
+          mentions("source") === pref("p_sab") &&
+          mentions("code") === pref("p_code"), "left")
+      .withColumn("concept_name", coalesce(col("preferred_name"), col("concept_name")))
+      .drop("p_cui", "p_sab", "p_code", "preferred_name")
+      .join(broadcast(xwalk), mentions("cui") === xwalk("x_cui"), "left")
+      .drop("x_cui")
+  }
+
+  /** L1 candidate generation + L2 selection + L3 exact resolution, fully
+    * lexical (the reference's ES `multi_match` + LLM pick,
+    * `app.py:681-841`, made deterministic):
+    *
+    *   score(mention, alias) = Σ_{t ∈ tokens(surface) ∩ tokens(alias)} idf(t)
+    *   idf(t) = ln(1 + N_aliases / df(t))
+    *   best   = max by (score desc, length(alias) asc, code asc)
+    *
+    * All against the broadcast gazetteer; `topK` candidates kept per
+    * mention (reference ES `"size": 10`, `app.py:720`). */
+  def linkBySurface(mentions: DataFrame, gaz: DataFrame, topK: Int = 10): DataFrame = {
+    val spark = mentions.sparkSession
+
+    val aliasTok = gaz
+      .select(col("cui"), col("sab"), col("code"), col("str"),
+        explode(expr("array_distinct(split(lower(str), '[^a-z0-9]+'))")).as("token"))
+      .filter(length(col("token")) > 0)
+    val nAliases = gaz.count().toDouble
+    val idf = aliasTok.groupBy("token")
+      .agg(countDistinct(col("sab"), col("code"), col("str")).as("df"))
+      .withColumn("idf", log(lit(1.0) + lit(nAliases) / col("df")))
+
+    val scoredTokens = aliasTok.join(broadcast(idf), "token")
+
+    val mTok = mentions
+      .withColumn("mention_key",
+        xxhash64(col("conv_id"), col("turn_idx"), col("try_index"),
+          col("start"), col("end")))
+      .select(col("mention_key"), col("surface"),
+        explode(expr("array_distinct(split(lower(surface), '[^a-z0-9]+'))")).as("token"))
+      .filter(length(col("token")) > 0)
+
+    // token-overlap join against the broadcast index, then two-phase agg
+    val cand = mTok.join(broadcast(scoredTokens), "token")
+      .groupBy(col("mention_key"), col("cui"), col("sab"), col("code"), col("str"))
+      .agg(round(sum(col("idf")), 9).as("score"))
+
+    val wTop = Window.partitionBy("mention_key")
+      .orderBy(col("score").desc, length(col("str")).asc, col("code").asc, col("sab").asc)
+    cand.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= topK)
+      .withColumn("selected", col("rn") === 1)
+  }
+}

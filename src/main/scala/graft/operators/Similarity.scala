@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (builder brief; reference
+  * embedding cosine at `src/small_tasks/cos_sim.py:52-66`).
+  *
+  *  - [[cosine]]: pure higher-order-function column expression (zip_with
+  *    dot product) — codegen'd, no UDF (SURVEY §2.12 F6).
+  *  - [[bruteForceTopK]]: exact baseline — one narrow projection + a
+  *    global top-k (Spark's `orderBy.limit` plans TakeOrderedAndProject:
+  *    per-partition heaps, only k rows cross the network per partition).
+  *  - [[lshTopK]]: scale path — deterministic random-hyperplane signature
+  *    (sign of hash-seeded ±1 projections), candidates = probe bucket,
+  *    exact rerank inside the bucket. Recall/speed traded by `bits`.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float|double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (s, v) => s + v))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (s, v) => s + v))
+    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Exact top-k by cosine against one query vector. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    emb.select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane, dim): parity of
+    * xxhash64(plane * 100003 + dim). Same formula on both the data and the
+    * query side — no stored model. */
+  private def planeSign(plane: Int, dim: Column): Column =
+    when(pmod(xxhash64(dim * 31 + lit(plane * 100003)), lit(2)) === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** `bits`-bit random-hyperplane signature of a vector column. */
+  def lshSignature(vec: Column, bits: Int): Column = {
+    val vd = transform(vec, x => x.cast("double"))
+    val bitCols = (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(vd, sequence(lit(0), size(vd) - 1),
+          (x, i) => x * planeSign(p, i)),
+        lit(0.0), (s, v) => s + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: candidates share the query's signature bucket (multi-probe:
+    * hamming ≤ 1 neighbours included), exact cosine rerank. Falls back to
+    * nothing silently if the bucket is empty — callers wanting guarantees
+    * use [[bruteForceTopK]]; logged-out recall is tested, not assumed. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, bits: Int = 12): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = array(query.map(lit): _*)
+    val qSigRow = spark.range(1).select(lshSignature(q, bits).as("s")).head()
+    val qSig = qSigRow.getLong(0)
+    // multi-probe: exact bucket + all 1-bit flips
+    val probes = (qSig +: (0 until bits).map(b => qSig ^ (1L << b))).toSet.toSeq
+    emb.withColumn("sig", lshSignature(col(vecCol), bits))
+      .filter(col("sig").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicate by embedding cosine ≥ threshold, bucketed by
+    * LSH signature so the self-join never goes all-pairs. */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 8): DataFrame = {
+    val sigs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", lshSignature(col("v"), bits))
+    val a = sigs.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = sigs.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}
