@@ -118,10 +118,13 @@ object SparkEntry {
         .groupBy(col("model_id"), col("event_type")).agg(count(lit(1)).as("n"))
     }),
 
-    // U3/J4: anti join (resume: not-yet-processed)
+    // U3/J4: anti join (resume: not-yet-processed); the totalprice filter
+    // keeps the result non-degenerate at every sf (all customers have
+    // SOME order in this data)
     "q10_anti_join" -> ((s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))),
 
     // A1 unique: distinct aggregation
@@ -172,6 +175,25 @@ object SparkEntry {
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))),
 
+    // U: intersect (SURVEY §2.7)
+    "q16_intersect" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(e.filter(col("value") > 50).select(col("user_id")))
+    }),
+
+    // P7/J4 family: left-semi join
+    "q17_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))),
+
+    // A7: conditional aggregation (progress counters)
+    "q18_conditional_agg" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(sum(when(col("value") > 50, 1).otherwise(0)).as("n_high"),
+          count(lit(1)).as("n"))),
+
     // ---- training-data ops: dedup / text / similarity ----
 
     "dd_exact" -> ((s, dir) =>
@@ -204,7 +226,20 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
     }),
 
-    // rows-only (non-SQL-expressible): LSH / signature ops
+    // embedding-cosine near-dup: exact pairs (oracle-checked baseline)
+    "dd_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineExactPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+
+    // multimodal plumbing: resize + frame-sample plans are pure column math
+    // over the synthesized assets table (oracle-checked)
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeMeta(Multimodal.synthAssets(t(s, dir, "documents")), 256)
+        .select(col("asset_id"), col("modality"), col("out_width"), col("out_height"))),
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.frameSamplePlan(Multimodal.synthAssets(t(s, dir, "documents")), 4)
+        .select(col("asset_id"), size(col("frame_ids")).as("n_sampled"))),
+
+    // rows-only (non-SQL-expressible): LSH / signature / stubbed-decode ops
     "sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -222,6 +257,27 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 3, threshold = 0.05, maxDf = 100)
         .orderBy("id_a", "id_b")),
+    // bits=4: near-orthogonal pairs (cos≈0.4 ⇒ per-bit agree p≈0.63) still
+    // co-bucket with p≈0.16 — nonzero recall on this corpus; raise bits as
+    // vectors get more clustered
+    "dd_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, bits = 4)
+        .orderBy("id_a", "id_b")),
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5)
+    }),
+    "mm_features" -> ((s, dir) => {
+      import s.implicits._
+      val assets = Multimodal.synthAssets(t(s, dir, "documents")).as[Multimodal.Asset]
+      Multimodal.extractFeatures(assets).toDF()
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n"), round(avg(col("n_bytes")), 3).as("avg_bytes"),
+          round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
+    }),
 
     // ---- KG pipeline (rows-only; ScalaTest oracle is the gate) ----
 
@@ -294,7 +350,8 @@ object SparkEntry {
         |) GROUP BY 1, 2""".stripMargin,
     "q10_anti_join" ->
       """SELECT c_nationkey, count(*) AS n FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |GROUP BY 1""".stripMargin,
     "q11_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
@@ -320,6 +377,46 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q16_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE value > 50""".stripMargin,
+    "q17_semi_join" ->
+      """SELECT c_nationkey, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "q18_conditional_agg" ->
+      """SELECT event_type,
+        |CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |count(*) AS n FROM events GROUP BY 1""".stripMargin,
+    "dd_embed_neardup" ->
+      """SELECT id_a, id_b, cos FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.4""".stripMargin,
+    "mm_resize" ->
+      """SELECT asset_id, modality,
+        |CAST(CASE WHEN modality = 'audio' THEN -1
+        |  ELSE greatest(1, floor(width * s)) END AS INTEGER) AS out_width,
+        |CAST(CASE WHEN modality = 'audio' THEN -1
+        |  ELSE greatest(1, floor(height * s)) END AS INTEGER) AS out_height
+        |FROM (
+        |  SELECT asset_id, modality, width, height,
+        |    least(1.0, 256 / CAST(greatest(width, height) AS DOUBLE)) AS s
+        |  FROM (
+        |    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+        |      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |        WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |      64 + (doc_id % 16) * 32 AS width,
+        |      64 + ((doc_id * 7) % 16) * 32 AS height
+        |    FROM documents))""".stripMargin,
+    "mm_frames" ->
+      """SELECT CAST(doc_id AS BIGINT) AS asset_id,
+        |CAST(CASE WHEN doc_id % 3 = 2 THEN ((8 + doc_id % 120) - 1) // 4 + 1
+        |  ELSE 0 END AS INTEGER) AS n_sampled
+        |FROM documents""".stripMargin,
     "dd_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
         |count(*) AS dup_count FROM documents GROUP BY 1""".stripMargin,

@@ -39,19 +39,31 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
 
   /** MinHash signature: m hash functions h_j(s) = xxhash64(s, j), each
-    * minimized over the shingle set — one projection, no shuffle. */
+    * minimized over the shingle set. Written as ONE fold over the shingles
+    * (per shingle: all m hashes; accumulator: element-wise min) instead of
+    * the textbook m-passes form — Catalyst re-evaluates a lambda's input
+    * per outer-loop iteration and does no cross-lambda CSE, so the m-passes
+    * form re-shingled the document m times (measured ~30× slower).
+    * Empty shingle set ⇒ all-Long.MaxValue signature (callers filter). */
+  def minhashSignatureOf(shingleCol: Column, m: Int = 32): Column =
+    aggregate(
+      transform(shingleCol,
+        s => transform(sequence(lit(0), lit(m - 1)), j => xxhash64(s, j))),
+      array_repeat(lit(Long.MaxValue), m),
+      (acc, hs) => zip_with(acc, hs, (a, b) => least(a, b)))
+
   def minhashSignature(text: Column, m: Int = 32, k: Int = 3): Column =
-    transform(sequence(lit(0), lit(m - 1)),
-      j => array_min(transform(shingles(text, k), s => xxhash64(s, j))))
+    minhashSignatureOf(shingles(text, k), m)
 
   /** MinHash+LSH near-dup pairs: band the signature (b bands × r rows),
     * join on equal band hash, verify estimated Jaccard = matching minhash
     * fraction ≥ `threshold`. Returns (id_a, id_b, est_jaccard), id_a < id_b. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      m: Int = 32, bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+      m: Int = 32, bands: Int = 8, threshold: Double = 0.7, k: Int = 3): DataFrame = {
     val r = m / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), m).as("sig"))
+    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0) // shingle-less docs carry no signal
+      .select(col("id"), minhashSignatureOf(col("sh"), m).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r)).cast("string"), b)))

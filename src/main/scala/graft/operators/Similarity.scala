@@ -76,6 +76,68 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN top-k — the classic two-level scale path:
+    * a small coarse quantizer (deterministically sampled centroids,
+    * collected once — IVF codebooks are small by design) assigns every
+    * vector to its nearest centroid (pure codegen'd expression: one cosine
+    * per centroid, argmax via sort_array on (cos, cid) structs); the query
+    * probes only its `nProbe` nearest lists. Partition-prunable when the
+    * table is written partitioned by `ivf_cid`. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids: Array[(Long, Seq[Double])] =
+      emb.select(col(idCol).cast("long"), col(vecCol))
+        .orderBy(xxhash64(col(idCol)), col(idCol)) // seeded deterministic sample
+        .limit(nCentroids)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+    def centroidLit(c: Seq[Double]): Column = array(c.map(lit): _*)
+    val scored = array(centroids.map { case (cid, cvec) =>
+      struct(cosine(col(vecCol), centroidLit(cvec)).as("cos"), lit(cid).as("cid"))
+    }: _*)
+    val assigned = emb.withColumn("ivf_cid",
+      element_at(reverse(array_sort(scored)), 1).getField("cid"))
+    // query-side assignment: same cosine, computed on the driver
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.lazyZip(b).map(_ * _).sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+    }
+    val probes = centroids.map { case (cid, cv) => (cos(query, cv), cid) }
+      .sortBy { case (c, cid) => (-c, cid) }.take(nProbe).map(_._2).toSeq
+    val q = array(query.map(lit): _*)
+    assigned.filter(col("ivf_cid").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Exact all-pairs cosine ≥ threshold (oracle-checkable baseline; the
+    * LSH-bucketed [[cosineNearDupPairs]] is the at-scale path). The join
+    * is a nested-loop on id inequality — O(n²), small-n / verification use
+    * only. */
+  def cosineExactPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    // norms/double-casts are per-ROW, computed once before the O(n²) join;
+    // the per-PAIR work is only the dot product. Arithmetic association is
+    // kept identical to [[cosine]] (dot / (na*nb), left-to-right sums) so
+    // results stay bit-compatible with the single-expression form.
+    def prep(suffix: String) = {
+      val vd = transform(col(vecCol), x => x.cast("double"))
+      emb.select(col(idCol).as(s"id_$suffix"), vd.as(s"v_$suffix"),
+        sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (s, v) => s + v))
+          .as(s"n_$suffix"))
+    }
+    val dot = aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
+      lit(0.0), (s, v) => s + v)
+    prep("a").join(prep("b"), col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        when(col("n_a") > 0 && col("n_b") > 0, dot / (col("n_a") * col("n_b")))
+          .otherwise(lit(0.0)), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** All-pairs near-duplicate by embedding cosine ≥ threshold, bucketed by
     * LSH signature so the self-join never goes all-pairs. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,

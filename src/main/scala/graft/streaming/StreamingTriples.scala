@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.model.{GazRow, Mention}
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incremental (Structured Streaming) surface of the KG pipeline
+  * (SURVEY.md §2.10). The reference has no stream processing — work arrives
+  * one document per Celery task with revoke-and-replace semantics
+  * (`src/app.py:1191-1208,1339`); this module is the Spark-native
+  * restatement of those obligations:
+  *
+  *  - duplicate/late arrivals → event-time watermark +
+  *    dropDuplicatesWithinWatermark on the turn key (the queue's
+  *    duplicate-upload guard, `src/app.py:1232-1285`);
+  *  - per-unit processing → the same narrow segment→extract stages run
+  *    unchanged on a streaming Dataset (append mode, zero state);
+  *  - commit/supersede → foreachBatch writes each micro-batch's triples
+  *    under `(batch_id, bucket)` partitions with dynamic overwrite, so a
+  *    replayed micro-batch (Spark redelivers the same batchId after a
+  *    failure) overwrites exactly its own output — idempotent, and the
+  *    manifest row (one per batch × bucket, lineage = batch id) is written
+  *    only after the data commit, mirroring [[graft.operators.GraphSink]].
+  *
+  * Windowed predicates (`replies_to` via lag) are computed within a
+  * micro-batch; the ingest contract is conversation-complete batches
+  * (upstream sessionization), the same unit-of-work contract the reference
+  * queue enforces per document.
+  */
+object StreamingTriples {
+
+  /** Exactly-once turn stream: watermarked dedup on the turn key. */
+  def dedupedTurns(turns: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    turns.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+
+  /** Streaming mention detection: the batch stages are narrow, so they run
+    * on an unbounded Dataset as-is (append mode, no state, no shuffle). */
+  def mentionsStream(turns: DataFrame, gaz: Array[GazRow]): Dataset[Mention] = {
+    val gazB = turns.sparkSession.sparkContext.broadcast(gaz)
+    MentionExtractor.extract(Segmentation.segments(turns), gazB)
+  }
+
+  /** One micro-batch of the full pipeline body: turns → triples, committed
+    * idempotently under (batch_id, bucket) partitions + manifest row. */
+  def commitBatch(gaz: Array[GazRow], gazDf: DataFrame, dir: String,
+      nBuckets: Int = 16)(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val gazB = spark.sparkContext.broadcast(gaz)
+    val mentions = MentionExtractor.extract(Segmentation.segments(batch), gazB).toDF()
+    val linked = Linking.link(mentions, gazDf)
+    val triples = Triples.all(Aggregation.perTurn(linked), batch)
+      .withColumn("bucket", GraphSink.bucketCol(nBuckets))
+      .withColumn("batch_id", lit(batchId))
+    triples.write.mode(SaveMode.Overwrite)
+      .partitionBy("batch_id", "bucket").parquet(s"$dir/triples")
+    GraphSink.metrics(triples)
+      .withColumn("run_id", concat(lit("batch-"), lit(batchId)))
+      .write.mode(SaveMode.Append).parquet(GraphSink.manifestPath(dir))
+  }
+
+  /** Start the end-to-end incremental KG query. `watermark` must cover the
+    * expected event-time disorder across micro-batches — rows older than
+    * max(seen ts) − watermark are dropped as late (by design; the
+    * reference's queue had no such guard at all). */
+  def start(turnsStream: DataFrame, gaz: Array[GazRow], gazDf: DataFrame,
+      dir: String, checkpointDir: String,
+      watermark: String = "10 minutes"): StreamingQuery =
+    dedupedTurns(turnsStream, watermark)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(commitBatch(gaz, gazDf, dir) _)
+      .start()
+
+  def readTriples(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/triples")
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.model.Turn
+import graft.operators._
+import graft.sources.{Gazetteer, SynthTranscripts}
+import graft.streaming.StreamingTriples
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+/** Structured-Streaming surface (SURVEY.md §2.10): narrow stages run
+  * unchanged on an unbounded Dataset; foreachBatch commits are idempotent
+  * under micro-batch replay; watermarked dedup absorbs duplicate arrivals. */
+class StreamingSpec extends GraftSuite {
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val nBase = 48
+  private val cfg = Pipeline.Config(12, nBase)
+  private lazy val gaz = Gazetteer.rows(nBase).toArray
+  private lazy val gazDf = Gazetteer.rows(nBase).toDF()
+  private lazy val allTurns: Seq[Turn] =
+    SynthTranscripts.turns(spark, cfg.nConvs, nBase).collect().toSeq
+
+  /** Batch-reference triples over the given turns. */
+  private def batchTriples(ts: Seq[Turn]): Seq[String] = {
+    val tdf = ts.toDS().toDF()
+    val m = Pipeline.mentions(spark, cfg, tdf)
+    Triples.all(Aggregation.perTurn(Linking.link(m, gazDf)), tdf)
+      .select("subj", "pred", "obj", "confidence")
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  test("streaming mention detection == batch mention detection") {
+    val ms = MemoryStream[Turn]
+    ms.addData(allTurns)
+    val q = StreamingTriples.mentionsStream(ms.toDF(), gaz)
+      .writeStream.format("memory").queryName("m_stream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("m_stream").collect().map(_.toString).sorted.toSeq
+    val want = Pipeline.mentions(spark, cfg, allTurns.toDS().toDF())
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("incremental foreachBatch commits == batch pipeline; replay is idempotent") {
+    val dir = Files.createTempDirectory("kgstream").toString
+    val ckpt = Files.createTempDirectory("kgckpt").toString
+    // conversation-complete micro-batches (the ingest contract)
+    val (b1, b2) = allTurns.partition(t => math.abs(t.conv_id.hashCode) % 2 == 0)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val ms = MemoryStream[Turn]
+    // watermark wide enough that the second (event-time-older) micro-batch
+    // is not dropped as late — arrival order here is not event-time order
+    val q = StreamingTriples.start(ms.toDF(), gaz, gazDf, dir, ckpt,
+      watermark = "3650 days")
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = StreamingTriples.readTriples(spark, dir)
+      .select("subj", "pred", "obj", "confidence")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == batchTriples(allTurns))
+    // replaying micro-batch 0 (Spark redelivers after failure) is a no-op
+    val before = StreamingTriples.readTriples(spark, dir).count()
+    StreamingTriples.commitBatch(gaz, gazDf, dir)(b1.toDS().toDF(), 0L)
+    assert(StreamingTriples.readTriples(spark, dir).count() == before)
+  }
+
+  test("watermarked dedup absorbs duplicate turn arrivals") {
+    val dir = Files.createTempDirectory("kgstream2").toString
+    val ckpt = Files.createTempDirectory("kgckpt2").toString
+    val (b1, _) = allTurns.partition(t => math.abs(t.conv_id.hashCode) % 2 == 0)
+    val ms = MemoryStream[Turn]
+    val q = StreamingTriples.start(ms.toDF(), gaz, gazDf, dir, ckpt)
+    ms.addData(b1 ++ b1) // duplicated upload in one micro-batch
+    q.processAllAvailable(); q.stop()
+    val got = StreamingTriples.readTriples(spark, dir)
+      .select("subj", "pred", "obj", "confidence")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == batchTriples(b1))
+  }
+}
