@@ -85,18 +85,25 @@ object Dedup {
 
   /** SimHash-64 of the word multiset as a pure column expression: for each
     * bit position, sum ±1 over token hashes and take the sign bit.
-    * (`call_function` because the Scala `shiftright`/`shiftleft` helpers
-    * only take literal Int shift amounts, not lambda-bound columns.) */
+    * Written as ONE fold over the tokens (accumulator = 64 bit-counters,
+    * per token all 64 contributions) — the textbook per-bit outer loop
+    * would re-tokenize the document 64 times (Catalyst re-evaluates a
+    * lambda's input per iteration, no cross-lambda CSE; see
+    * [[minhashSignatureOf]]). (`call_function` because the Scala
+    * `shiftright`/`shiftleft` helpers only take literal Int shift amounts,
+    * not lambda-bound columns.) */
   def simhash64(text: Column): Column = {
-    val tokenHashes = transform(words(text), w => xxhash64(w))
-    val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc +
-          when(call_function("shiftright", h, b.cast("int")).bitwiseAND(lit(1L)) === 1L,
-            lit(1L)).otherwise(lit(-1L))
-      ) > 0, lit(1L)).otherwise(lit(0L))
-        .multiply(call_function("shiftleft", lit(1L), b.cast("int"))))
-    aggregate(bits, lit(0L), (acc, v) => acc.bitwiseOR(v))
+    val counters = aggregate(
+      transform(words(text), w => xxhash64(w)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, b) => a + when(call_function("shiftright", h, b.cast("int"))
+          .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))))
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (c, b) => when(c > 0,
+          call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
   /** SimHash near-dup pairs: block on 4×16-bit sub-keys (a pair within
@@ -128,14 +135,20 @@ object Dedup {
       k: Int = 3, threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
-    val inv = sh.select(col("id"), col("sh"), explode(col("sh")).as("s"))
+    // candidate ids only through the join+distinct — shingle ARRAYS are
+    // re-attached afterwards so the dedup shuffle moves 16-byte pairs, not
+    // full shingle sets
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
     val dfCount = inv.groupBy("s").agg(count(lit(1)).as("df"))
-    val rare = inv.join(dfCount.filter(col("df") <= maxDf), "s")
-    val pairs = rare.select(col("s"), col("id").as("id_a"), col("sh").as("sh_a"))
-      .join(rare.select(col("s"), col("id").as("id_b"), col("sh").as("sh_b")), Seq("s"))
+    val rare = inv.join(dfCount.filter(col("df") <= maxDf), "s").select("s", "id")
+    val pairIds = rare.select(col("s"), col("id").as("id_a"))
+      .join(rare.select(col("s"), col("id").as("id_b")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val pairs = pairIds
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     pairs
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni",
