@@ -297,6 +297,16 @@ object SparkEntry {
     "kg_triples" -> ((s, dir) =>
       Pipeline.triples(s, cfgOf(dir)).toDF()
         .orderBy("pred", "subj", "obj")),
+    // L1-L3 lexical candidate linking (the ES multi_match analogue):
+    // idf-overlap scoring against the broadcast alias index, top-10 + pick
+    "kg_link_surface" -> ((s, dir) => {
+      val cfg = cfgOf(dir)
+      val m = Pipeline.mentions(s, cfg, Pipeline.turns(s, cfg).toDF())
+      Linking.linkBySurface(m, Pipeline.gazetteer(s, cfg)._1)
+        .filter(col("selected"))
+        .groupBy(col("sab"), col("code")).agg(count(lit(1)).as("n"))
+        .orderBy("sab", "code")
+    }),
     "kg_canonical" -> ((s, dir) => {
       import s.implicits._
       val gaz = Gazetteer.rows(cfgOf(dir).nBase).toDF()
