@@ -35,7 +35,14 @@ object Pipeline {
   def linked(spark: SparkSession, cfg: Config, m: DataFrame): DataFrame =
     Linking.link(m, gazetteer(spark, cfg)._1)
 
-  /** Full run: returns the triples dataset (lazy — caller writes/counts). */
+  /** Full run: returns the triples dataset (lazy — caller writes/counts).
+    *
+    * Deliberately NOT cached: the four predicate branches of [[Triples.all]]
+    * do recompute turn synthesis (cheap) and extraction (the agg exchange is
+    * reused where shapes allow), but persisting the wide text rows was
+    * MEASURED slower than recomputation (cache serialization ≈ synthesis
+    * cost) — at production scale the materialized stage tables (GraphSink)
+    * play that role instead. */
   def triples(spark: SparkSession, cfg: Config): Dataset[Triple] = {
     val t = turns(spark, cfg).toDF()
     val m = mentions(spark, cfg, t)

@@ -75,6 +75,13 @@ object Linking {
   def linkBySurface(mentions: DataFrame, gaz: DataFrame, topK: Int = 10): DataFrame = {
     val spark = mentions.sparkSession
 
+    // Scores depend only on the surface STRING, and dictionary-matched
+    // surfaces have gazetteer-bounded cardinality — so score each DISTINCT
+    // surface once and broadcast the results back onto the mention stream
+    // (10^12 mentions, 10^5 surfaces: the expensive explode+join+window
+    // runs on the 10^5 side).
+    val surfaces = mentions.select(col("surface")).distinct()
+
     val aliasTok = gaz
       .select(col("cui"), col("sab"), col("code"), col("str"),
         explode(expr("array_distinct(split(lower(str), '[^a-z0-9]+'))")).as("token"))
@@ -86,23 +93,27 @@ object Linking {
 
     val scoredTokens = aliasTok.join(broadcast(idf), "token")
 
-    val mTok = mentions
-      .withColumn("mention_key",
-        xxhash64(col("conv_id"), col("turn_idx"), col("try_index"),
-          col("start"), col("end")))
-      .select(col("mention_key"), col("surface"),
+    val sTok = surfaces
+      .select(col("surface"),
         explode(expr("array_distinct(split(lower(surface), '[^a-z0-9]+'))")).as("token"))
       .filter(length(col("token")) > 0)
 
     // token-overlap join against the broadcast index, then two-phase agg
-    val cand = mTok.join(broadcast(scoredTokens), "token")
-      .groupBy(col("mention_key"), col("cui"), col("sab"), col("code"), col("str"))
+    val cand = sTok.join(broadcast(scoredTokens), "token")
+      .groupBy(col("surface"), col("cui"), col("sab"), col("code"), col("str"))
       .agg(round(sum(col("idf")), 9).as("score"))
 
-    val wTop = Window.partitionBy("mention_key")
+    val wTop = Window.partitionBy("surface")
       .orderBy(col("score").desc, length(col("str")).asc, col("code").asc, col("sab").asc)
-    cand.withColumn("rn", row_number().over(wTop))
+    val perSurface = cand.withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= topK)
       .withColumn("selected", col("rn") === 1)
+
+    mentions
+      .withColumn("mention_key",
+        xxhash64(col("conv_id"), col("turn_idx"), col("try_index"),
+          col("start"), col("end")))
+      .select(col("mention_key"), col("surface"))
+      .join(broadcast(perSurface), "surface")
   }
 }

@@ -88,12 +88,27 @@ object MentionExtractor {
     new Variant(AhoCorasick.build(pats), pays, stem, if (stem) 0.9 else 0.99)
   }
 
-  /** Executor-local automaton cache keyed by (gazetteer identity, variant):
-    * built once per JVM, reused by every partition/task. */
+  /** Executor-local automaton cache keyed by gazetteer CONTENT (cheap
+    * fingerprint), not broadcast id: re-broadcasting the same gazetteer
+    * (every pipeline invocation makes a fresh broadcast) must hit the
+    * cache — a bcId key rebuilt 3 automatons per run per executor and
+    * leaked one cache entry per broadcast. */
   private val cache = TrieMap.empty[(Long, Int), Variant]
 
-  def variantFor(bcId: Long, gaz: => Array[GazRow], v: Int): Variant =
-    cache.getOrElseUpdate((bcId, v), buildVariant(gaz, v))
+  def gazFingerprint(gaz: Array[GazRow]): Long = {
+    var h = gaz.length.toLong
+    var i = 0
+    while (i < gaz.length) {
+      val r = gaz(i)
+      h = h * 6364136223846793005L + r.cui.hashCode
+      h = h * 6364136223846793005L + r.str.hashCode + r.tty.hashCode
+      i += 1
+    }
+    h
+  }
+
+  def variantFor(fp: Long, gaz: => Array[GazRow], v: Int): Variant =
+    cache.getOrElseUpdate((fp, v), buildVariant(gaz, v))
 
   /** Match one segment with one variant; offsets in TURN coordinates. */
   def matchSegment(seg: Segment, vIdx: Int, variant: Variant): Iterator[Mention] = {
@@ -122,9 +137,14 @@ object MentionExtractor {
   /** The operator: 3-variant ensemble NER as one narrow flatMap. */
   def extract(segments: Dataset[Segment], gazB: Broadcast[Array[GazRow]]): Dataset[Mention] = {
     import segments.sparkSession.implicits._
-    segments.flatMap { seg =>
-      (0 to 2).iterator.flatMap { v =>
-        matchSegment(seg, v, variantFor(gazB.id, gazB.value, v))
+    segments.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val fp = gazFingerprint(gazB.value)
+        val variants = Array.tabulate(3)(v => variantFor(fp, gazB.value, v))
+        it.flatMap { seg =>
+          (0 to 2).iterator.flatMap(v => matchSegment(seg, v, variants(v)))
+        }
       }
     }
   }

@@ -86,16 +86,40 @@ object SynthTranscripts {
     Turn(convId(c), t, role, turnText(c, t, surfaces), toolOf(c, t, role), tsOf(c, t))
   }
 
-  /** Distributed generation: narrow flatMap over conv indices — no shuffle,
-    * any partitioning yields identical rows. */
+  /** Turn-block size for distributed generation: the unit of work that gets
+    * hash-spread across partitions, so a mega conversation cannot pin one
+    * task (SURVEY §4 skew handling — the same block decomposition a real
+    * ingest would apply before any heavy per-turn stage). */
+  val BlockSize = 256
+
+  /** Distributed generation in two phases: a cheap per-conv flatMap emits
+    * (conv, turn-range) block DESCRIPTORS, a hash repartition on
+    * (conv, block) spreads them evenly (this is where mega-conversation
+    * skew dies — descriptor rows are bytes, the shuffle is ~free), and the
+    * heavy text synthesis runs post-shuffle. Rows are a pure function of
+    * (conv, turn): any partitioning yields identical content. */
   def turns(spark: SparkSession, nConvs: Int, nBaseConcepts: Int): Dataset[Turn] = {
+    import org.apache.spark.sql.functions.col
     import spark.implicits._
     val surfaces = Gazetteer.plantableSurfaces(nBaseConcepts)
     val n = nConvs
-    spark.range(0, n.toLong, 1, math.min(n, 64)).as[Long].flatMap { c =>
-      val size = convSize(c, n)
-      (0 until size).iterator.map(t => mkTurn(c, t, surfaces))
-    }
+    spark.range(0, n.toLong, 1, math.min(n, 64)).as[Long]
+      .flatMap { c =>
+        val size = convSize(c, n)
+        (0 until size by BlockSize).iterator.map(t0 =>
+          (c, t0, math.min(t0 + BlockSize, size)))
+      }
+      .toDF("c", "t0", "t1")
+      // EXPLICIT partition count: descriptor rows are bytes, so AQE's
+      // byte-sized coalescing would collapse this shuffle to one partition
+      // and serialize the heavy expansion downstream — partition count must
+      // track the post-expansion work, not the shuffle payload
+      .repartition(spark.sparkContext.defaultParallelism * 4,
+        col("c"), col("t0"))
+      .as[(Long, Int, Int)]
+      .flatMap { case (c, t0, t1) =>
+        (t0 until t1).iterator.map(t => mkTurn(c, t, surfaces))
+      }
   }
 
   /** Total turn count for sizing/throughput math (driver-side arithmetic). */
