@@ -194,6 +194,14 @@ object SparkEntry {
         .agg(sum(when(col("value") > 50, 1).otherwise(0)).as("n_high"),
           count(lit(1)).as("n"))),
 
+    // §4 skew: salted two-phase aggregation — same result as the direct
+    // groupBy (the oracle IS the direct groupBy), hot keys spread over 16
+    // partial reducers
+    "q19_salted_agg" -> ((s, dir) =>
+      Skew.saltedCountSum(t(s, dir, "events"), Seq("event_type"), "event_id",
+          "value", nSalts = 16)
+        .select(col("event_type"), col("n"), round(col("sum_v"), 2).as("sum_v"))),
+
     // ---- training-data ops: dedup / text / similarity ----
 
     "dd_exact" -> ((s, dir) =>
@@ -399,6 +407,9 @@ object SparkEntry {
       """SELECT event_type,
         |CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
         |count(*) AS n FROM events GROUP BY 1""".stripMargin,
+    "q19_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1""".stripMargin,
     "dd_embed_neardup" ->
       """SELECT id_a, id_b, cos FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

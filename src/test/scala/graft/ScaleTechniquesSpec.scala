@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+/** Explicit scale techniques (SURVEY §4): salted aggregation equivalence,
+  * bucketed co-located joins (shuffle-free), and JSON artifact round-trip
+  * (F8). */
+class ScaleTechniquesSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("salted two-phase agg == direct groupBy on a skewed corpus") {
+    // 90% of rows on one hot key
+    val rows = (0 until 20000).map { i =>
+      val key = if (i % 10 == 0) s"k${i % 7}" else "hot"
+      (i.toLong, key, (i % 100) / 7.0)
+    }
+    val df = rows.toDF("id", "key", "v")
+    val salted = Skew.saltedCountSum(df, Seq("key"), "id", "v", nSalts = 16)
+      .select($"key", $"n", round($"sum_v", 6).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = df.groupBy("key")
+      .agg(count(lit(1)).as("n"), round(sum($"v"), 6).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
+    // the partial phase really fans the hot key out across salts
+    val partials = df.withColumn("_salt", Skew.saltCol($"id", 16))
+      .filter($"key" === "hot").select($"_salt").distinct().count()
+    assert(partials >= 12, s"hot key only reached $partials of 16 salts")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // default warehouse dir (static conf); tables dropped in finally,
+    // spark-warehouse/ + metastore are gitignored
+    val n = 10000
+    spark.range(n).select($"id".as("k"), ($"id" % 97).as("a"))
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bucketed_a")
+    spark.range(n).select($"id".as("k"), ($"id" % 31).as("b"))
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bucketed_b")
+    // disable auto-broadcast: the co-location claim is about the GENERAL
+    // shuffle join (broadcast would trivially avoid the shuffle for small n)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must be shuffle-free:\n$plan")
+      assert(joined.count() == n)
+      // same join on unbucketed data DOES shuffle — the comparison point
+      val ua = spark.range(n).select($"id".as("k"), ($"id" % 97).as("a"))
+      val ub = spark.range(n).select($"id".as("k"), ($"id" % 31).as("b"))
+      val uplan = ua.join(ub, "k").queryExecution.executedPlan.toString
+      assert(uplan.contains("Exchange hashpartitioning"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    }
+  }
+
+  test("F8: triple qualifiers round-trip through to_json/from_json") {
+    val cfg = Pipeline.Config(nConvs = 8, nBase = 48)
+    val triples = Pipeline.triples(spark, cfg).toDF()
+    val schema = triples.schema
+    val asJson = triples.select(to_json(struct(col("*"))).as("j"))
+    val back = asJson.select(from_json($"j", schema).as("t")).select("t.*")
+    val a = triples.collect().map(_.toString).sorted
+    val b = back.collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+}
