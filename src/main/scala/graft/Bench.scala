@@ -38,7 +38,10 @@ object Bench {
     val cfg = base.copy(nConvs = base.nConvs * mult)
     val t0 = System.nanoTime()
     val n = Pipeline.triples(spark, cfg).count()
-    (n, (System.nanoTime() - t0) / 1e9)
+    val sec = (System.nanoTime() - t0) / 1e9
+    // drop this run's persisted intermediates so repeats don't accumulate
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    (n, sec)
   }
 
   /** Host interference on this shared VM arrives in multi-minute windows

@@ -47,8 +47,18 @@ object Pipeline {
     val t = turns(spark, cfg).toDF()
     val m = mentions(spark, cfg, t)
     val l = linked(spark, cfg, m)
+    // NOT cached, deliberately: the mentions and asserts branches both
+    // recompute turnAgg (attribute-dedup in the self-referencing union
+    // defeats AQE stage reuse), but caching was MEASURED a wash — columnar
+    // cache write+read of the 1.2M-row aggregate costs as much CPU as the
+    // second extraction it avoids, and a lazy cache even races itself when
+    // both consumer stages run concurrently in one job. At production
+    // scale the materialized stage tables (GraphSink) are the split point.
     val turnAgg = Aggregation.perTurn(l)
-    Triples.all(turnAgg, t)
+    // the predicate branches read only turn METADATA — hand them the
+    // text-free generator (generator-side column pruning; Triples.all
+    // never touches `text`)
+    Triples.all(turnAgg, SynthTranscripts.turnsMeta(spark, cfg.nConvs))
   }
 
   /** Voted variant of the mention stream (the reference's

@@ -122,6 +122,24 @@ object SynthTranscripts {
       }
   }
 
+  /** Metadata-only generation — (conv_id, turn_idx, role, tool, ts) without
+    * the text column. Text synthesis dominates generation cost, so
+    * consumers that never read `text` (role joins, uses_tool/replies_to
+    * triples) use this instead: the generator-side analogue of parquet
+    * column pruning. Rows agree with [[turns]] on every shared column by
+    * construction (same pure functions of (conv, turn)). */
+  def turnsMeta(spark: SparkSession, nConvs: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val n = nConvs
+    spark.range(0, n.toLong, 1, math.min(n, 64)).as[Long].flatMap { c =>
+      val size = convSize(c, n)
+      (0 until size).iterator.map { t =>
+        val role = roleOf(c, t)
+        (convId(c), t, role, toolOf(c, t, role), tsOf(c, t))
+      }
+    }.toDF("conv_id", "turn_idx", "role", "tool", "ts")
+  }
+
   /** Total turn count for sizing/throughput math (driver-side arithmetic). */
   def totalTurns(nConvs: Int): Long =
     (0L until nConvs.toLong).map(c => convSize(c, nConvs).toLong).sum
