@@ -82,7 +82,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val multA = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT_A", "4").toInt
+    val multA = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT_A", "8").toInt
     val multB = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT_B", "8").toInt
 
     // global warm-up: JIT + codegen + automaton caches are JVM-wide
@@ -90,7 +90,7 @@ object Bench {
     kgRun(sWarm, sfDir, multA)
     sWarm.stop()
 
-    val (nA, secLoA, secHiA) = interleaved(sfDir, 2, 8, multA, rounds = 4)
+    val (nA, secLoA, secHiA) = interleaved(sfDir, 2, 8, multA, rounds = 3)
     val (nB, secLoB, secHiB) = interleaved(sfDir, 8, 32, multB, rounds = 3)
 
     val (_, scalingA) = scalingJson(2, 8, nA, secLoA, secHiA)
