@@ -76,6 +76,44 @@ object StreamingTriples {
       .foreachBatch(commitBatch(gaz, gazDf, dir) _)
       .start()
 
+  /** Running per-conversation concept support, maintained incrementally
+    * with explicit state (the `flatMapGroupsWithState` surface): for every
+    * micro-batch of mentions the per-(conv, source:code) distinct-round set
+    * and occurrence count are folded into state, and the conversation's
+    * updated concept rows are re-emitted — the streaming twin of the A3
+    * cross-paragraph merge (`src/app.py:1570-1586`), where the reference
+    * re-reads all three paragraph artifacts on every update. State is
+    * bounded per conv (concept cardinality), timeout is the caller's
+    * watermark policy. */
+  final case class ConvConceptState(counts: Map[String, (Int, Set[Int])])
+  final case class ConvConceptSupport(conv_id: String, concept: String,
+      total_count: Int, unique_count: Int, confidence: Double)
+
+  def statefulConvSupport(mentions: Dataset[Mention]): Dataset[ConvConceptSupport] = {
+    import mentions.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    mentions
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (conv: String, it: Iterator[Mention], state: GroupState[ConvConceptState]) =>
+          val prev = state.getOption.getOrElse(ConvConceptState(Map.empty))
+          var counts = prev.counts
+          val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+          it.foreach { m =>
+            val key = m.source + ":" + m.code
+            val (n, tries) = counts.getOrElse(key, (0, Set.empty[Int]))
+            counts = counts.updated(key, (n + 1, tries + m.try_index))
+            touched += key
+          }
+          state.update(ConvConceptState(counts))
+          touched.iterator.map { key =>
+            val (n, tries) = counts(key)
+            ConvConceptSupport(conv, key, n, tries.size,
+              tries.size / graft.operators.Aggregation.TotalRetry.toDouble)
+          }
+      }
+  }
+
   def readTriples(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/triples")
 }

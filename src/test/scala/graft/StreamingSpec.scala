@@ -66,6 +66,33 @@ class StreamingSpec extends GraftSuite {
     assert(StreamingTriples.readTriples(spark, dir).count() == before)
   }
 
+  test("stateful per-conv support converges to the batch aggregate across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val (b1, b2) = allTurns.partition(t => t.turn_idx % 2 == 0) // convs SPLIT across batches
+    val ms = MemoryStream[Turn]
+    val q = StreamingTriples.statefulConvSupport(
+        StreamingTriples.mentionsStream(ms.toDF(), gaz))
+      .writeStream.format("memory").queryName("conv_support")
+      .outputMode("update").start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    // Update mode re-emits a conv's concept row whenever it changes; the
+    // counts are monotone, so max-per-key IS the final emission
+    val got = spark.table("conv_support")
+      .groupBy("conv_id", "concept")
+      .agg(max("total_count").cast("int").as("total_count"),
+        max("unique_count").cast("int").as("unique_count"))
+      .collect().map(_.toString).sorted.toSeq
+    val batchMentions = Pipeline.mentions(spark, cfg, allTurns.toDS().toDF())
+    val want = batchMentions
+      .groupBy(col("conv_id"), concat_ws(":", col("source"), col("code")).as("concept"))
+      .agg(count(lit(1)).cast("int").as("total_count"),
+        countDistinct(col("try_index")).cast("int").as("unique_count"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
   test("watermarked dedup absorbs duplicate turn arrivals") {
     val dir = Files.createTempDirectory("kgstream2").toString
     val ckpt = Files.createTempDirectory("kgckpt2").toString
