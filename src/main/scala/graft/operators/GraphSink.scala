@@ -53,14 +53,28 @@ object GraphSink {
       case Some(bs) => withBucket.filter(col("bucket").isin(bs: _*))
       case None     => withBucket
     }
-    val todo = restricted.join(done, Seq("bucket"), "left_anti").cache()
+    // in-flight lineage metric (SURVEY §2.11 T2 `observe()`): rows counted
+    // DURING the data write, then cross-checked against the manifest — a
+    // torn write can't go unnoticed between commit and manifest
+    val obs = org.apache.spark.sql.Observation(s"graft_sink_$runId")
+    val todo = restricted.join(done, Seq("bucket"), "left_anti")
+      .observe(obs, count(lit(1)).as("rows_written"))
+      .cache()
     try {
       todo.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(s"$dir/triples")
+      // zero-task writes (nothing left to resume) never evaluate the
+      // CollectMetrics node — an absent metric means zero rows
+      val written = obs.get.getOrElse("rows_written", 0L).asInstanceOf[Long]
       // manifest row written ONLY after the data commit (the commit point)
       metrics(todo).withColumn("run_id", lit(runId))
         .write.mode(SaveMode.Append).parquet(manifestPath(dir))
-      spark.read.parquet(manifestPath(dir))
-        .filter(col("run_id") === runId).count()
+      val manifestRows = spark.read.parquet(manifestPath(dir))
+        .filter(col("run_id") === runId)
+      val recorded = manifestRows.agg(coalesce(sum(col("triple_count")), lit(0L)))
+        .head().getLong(0)
+      require(recorded == written,
+        s"manifest/observed mismatch: manifest=$recorded observed=$written")
+      manifestRows.count()
     } finally todo.unpersist()
   }
 

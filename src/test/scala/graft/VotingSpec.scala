@@ -52,6 +52,30 @@ class VotingSpec extends GraftSuite {
     assert(dist === local)
   }
 
+  test("skewed fixture: one mega conversation holding ~50% of all mentions " +
+    "(SURVEY §7.4 risk 2) — distributed vote == local vote") {
+    import spark.implicits._
+    def mention(conv: String, turn: Int, tryIdx: Int, start: Int, end: Int,
+        code: Int): graft.model.Mention =
+      graft.model.Mention(conv, turn, tryIdx, start, end, s"s$code",
+        f"C$code%07d", "SNOMEDCT_US", code.toString, s"concept $code", 0.9)
+    // mega conv: 3000 mentions across 100 turns, dense overlaps per turn
+    val mega = for {
+      t <- 0 until 100; i <- 0 until 10; v <- 0 until 3
+    } yield mention("mega", t, v, i * 7 + v, i * 7 + v + 6, i % 5)
+    // 50 small convs with 60 mentions each
+    val small = for {
+      c <- 0 until 50; t <- 0 until 20; v <- 0 until 3
+    } yield mention(s"c$c", t, v, t * 3, t * 3 + 4, (c + t) % 7)
+    val all = (mega ++ small).toDS().repartition(16)
+    assert(mega.size.toDouble / (mega.size + small.size) > 0.45)
+    val local = Voting.vote(all, 0.3, 0.5).collect()
+      .map(_.toString).sorted.toSeq
+    val dist = Voting.voteDistributed(all, 0.3, 0.5)
+      .as[graft.model.VotedMention].collect().map(_.toString).sorted.toSeq
+    assert(local.nonEmpty && local == dist)
+  }
+
   test("connected components: chain, clique, isolated node") {
     import spark.implicits._
     val edges = Seq(
