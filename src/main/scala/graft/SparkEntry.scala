@@ -202,6 +202,25 @@ object SparkEntry {
           "value", nSalts = 16)
         .select(col("event_type"), col("n"), round(col("sum_v"), 2).as("sum_v"))),
 
+    // SQL API surface: the same engine drives plain SQL over registered
+    // views — gap-based sessionization (30-min inactivity splits sessions)
+    "q20_sessionize" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions FROM (
+          |  SELECT user_id, sum(new_sess) OVER (
+          |    PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+          |  FROM (
+          |    SELECT user_id, ts, event_id,
+          |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |             IS NULL
+          |           OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |             + INTERVAL 30 MINUTE
+          |      THEN 1 ELSE 0 END AS new_sess
+          |    FROM events_v))
+          |GROUP BY 1""".stripMargin)
+    }),
+
     // ---- training-data ops: dedup / text / similarity ----
 
     "dd_exact" -> ((s, dir) =>
@@ -410,6 +429,19 @@ object SparkEntry {
     "q19_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
         |FROM events GROUP BY 1""".stripMargin,
+    "q20_sessionize" ->
+      """SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions FROM (
+        |  SELECT user_id, sum(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |             IS NULL
+        |           OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |             + INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_sess
+        |    FROM events))
+        |GROUP BY 1""".stripMargin,
     "dd_embed_neardup" ->
       """SELECT id_a, id_b, cos FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
