@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The grading driver parses the bench JSON line from raw stdout; sbt's
+// default LoggedOutput wraps every forked-process line in "[info] " which
+// broke BENCH_r01 parsing (parsed:null). StdoutOutput passes the child's
+// streams through undecorated.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
