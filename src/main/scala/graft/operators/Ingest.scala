@@ -24,7 +24,9 @@ object Ingest {
   def reasonCol = {
     when(col("conv_id").isNull || length(col("conv_id")) === 0, "null_conv_id")
       .when(col("turn_idx").isNull || col("turn_idx") < 0, "bad_turn_idx")
-      .when(!col("role").isin(Roles: _*), "bad_role")
+      // NULL-safe: `!isin` is NULL for NULL input, which would skip this
+      // branch and let a null-role row through as valid
+      .when(col("role").isNull || !col("role").isin(Roles: _*), "bad_role")
       .when(col("text").isNull || length(col("text")) === 0, "empty_text")
       .when(col("ts").isNull, "null_ts")
       .otherwise(lit(null).cast("string"))

@@ -95,13 +95,22 @@ object MentionExtractor {
     * leaked one cache entry per broadcast. */
   private val cache = TrieMap.empty[(Long, Int), Variant]
 
+  /** Every payload-relevant field gets its own multiply-accumulate step:
+    * sab/code/ispref affect Payload content and variant-1 filtering, and a
+    * commutative `str.hashCode + tty.hashCode` would let distinct (str,tty)
+    * pairs collide — either collision silently reuses a cached automaton
+    * with wrong payloads across gazetteers in one JVM. */
   def gazFingerprint(gaz: Array[GazRow]): Long = {
     var h = gaz.length.toLong
     var i = 0
     while (i < gaz.length) {
       val r = gaz(i)
       h = h * 6364136223846793005L + r.cui.hashCode
-      h = h * 6364136223846793005L + r.str.hashCode + r.tty.hashCode
+      h = h * 6364136223846793005L + r.sab.hashCode
+      h = h * 6364136223846793005L + r.tty.hashCode
+      h = h * 6364136223846793005L + r.ispref.hashCode
+      h = h * 6364136223846793005L + r.code.hashCode
+      h = h * 6364136223846793005L + r.str.hashCode
       i += 1
     }
     h

@@ -58,9 +58,15 @@ object StreamingTriples {
       .withColumn("batch_id", lit(batchId))
     triples.write.mode(SaveMode.Overwrite)
       .partitionBy("batch_id", "bucket").parquet(s"$dir/triples")
+    // The manifest commit must be as idempotent as the data commit: a
+    // redelivered batchId re-runs this whole function, and an APPEND here
+    // would duplicate the batch's manifest rows (consumers summing
+    // triple_count double-count). Partitioning by run_id + dynamic
+    // overwrite makes the replay overwrite exactly its own rows.
     GraphSink.metrics(triples)
       .withColumn("run_id", concat(lit("batch-"), lit(batchId)))
-      .write.mode(SaveMode.Append).parquet(GraphSink.manifestPath(dir))
+      .write.mode(SaveMode.Overwrite).partitionBy("run_id")
+      .parquet(GraphSink.manifestPath(dir))
   }
 
   /** Start the end-to-end incremental KG query. `watermark` must cover the

@@ -39,7 +39,8 @@ class AlignmentIngestSpec extends GraftSuite {
       ("c1", 2, "user", "", None, ts(2)),             // empty_text
       ("", 0, "user", "x", None, ts(3)),              // null_conv_id
       ("c2", -1, "user", "x", None, ts(4)),           // bad_turn_idx
-      ("c2", 0, "assistant", "fine", Some("search"), ts(6))
+      ("c2", 0, "assistant", "fine", Some("search"), ts(6)),
+      ("c3", 0, null, "null role", None, ts(7))      // NULL role → bad_role
     ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
     val (valid, quarantine) = Ingest.validate(rows)
     val v = valid.select("conv_id", "turn_idx", "text").as[(String, Int, String)]
@@ -47,7 +48,7 @@ class AlignmentIngestSpec extends GraftSuite {
     assert(v == Set(("c1", 0, "hello v2"), ("c2", 0, "fine")))
     val q = quarantine.select("reason").as[String].collect()
       .groupBy(identity).view.mapValues(_.length).toMap
-    assert(q == Map("bad_role" -> 1, "empty_text" -> 1, "null_conv_id" -> 1,
+    assert(q == Map("bad_role" -> 2, "empty_text" -> 1, "null_conv_id" -> 1,
       "bad_turn_idx" -> 1, "superseded_duplicate" -> 1))
     assert(valid.count() + quarantine.count() == rows.count()) // conservation
   }

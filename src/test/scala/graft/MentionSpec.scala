@@ -112,4 +112,23 @@ class MentionSpec extends GraftSuite {
     assert(!byTry.contains(0))
     assert(byTry(2).map(_.surface) === Vector("cardiac infarctions"))
   }
+
+  test("gazFingerprint: distinct for every payload-relevant field change") {
+    // The automaton cache is keyed by this fingerprint — two gazetteers
+    // colliding means a silently-wrong cached automaton (source/code
+    // payloads or variant-1 filtering from the OTHER gazetteer).
+    val base = Array(GazRow("C1", "SNOMEDCT_US", "PT", "Y", "100", "renal failure"))
+    def fp(g: Array[GazRow]) = MentionExtractor.gazFingerprint(g)
+    val variants = Seq(
+      base.map(_.copy(cui = "C2")),
+      base.map(_.copy(sab = "RXNORM")),
+      base.map(_.copy(tty = "SY")),
+      base.map(_.copy(ispref = "N")),
+      base.map(_.copy(code = "999")),
+      base.map(_.copy(str = "renal disease")),
+      // commutative str+tty collision: swapped values must NOT collide
+      base.map(_.copy(tty = base(0).str, str = base(0).tty)))
+    variants.foreach(v => assert(fp(v) != fp(base), v.toSeq.toString))
+    assert(variants.map(fp).distinct.size == variants.size)
+  }
 }

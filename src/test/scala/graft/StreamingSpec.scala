@@ -61,9 +61,17 @@ class StreamingSpec extends GraftSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(got == batchTriples(allTurns))
     // replaying micro-batch 0 (Spark redelivers after failure) is a no-op
+    // for BOTH the data AND the manifest — a replay must not duplicate the
+    // batch's manifest rows (consumers sum triple_count)
+    import org.apache.spark.sql.functions.{coalesce => cls, col, lit, sum}
+    def manifestSum: Long = spark.read.parquet(GraphSink.manifestPath(dir))
+      .agg(cls(sum(col("triple_count")), lit(0L))).head().getLong(0)
     val before = StreamingTriples.readTriples(spark, dir).count()
+    val mBefore = manifestSum
+    assert(mBefore == before) // manifest agrees with data pre-replay
     StreamingTriples.commitBatch(gaz, gazDf, dir)(b1.toDS().toDF(), 0L)
     assert(StreamingTriples.readTriples(spark, dir).count() == before)
+    assert(manifestSum == mBefore)
   }
 
   test("stateful per-conv support converges to the batch aggregate across micro-batches") {
