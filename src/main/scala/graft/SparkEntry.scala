@@ -221,6 +221,56 @@ object SparkEntry {
           |GROUP BY 1""".stripMargin)
     }),
 
+    // W2/§3.2: the global-offset SPLICE arithmetic over SQL-visible data —
+    // per lang, documents ordered by doc_id are the artifact files laid end
+    // to end with the reference's 8-char separator (app.py:1496-1523); the
+    // "entity" is the first 'data' occurrence, located SQL-expressibly
+    "q21_offset_splice" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .withColumn("base_ind",
+          coalesce(sum(col("n_chars") + lit(8)).over(w), lit(0)).cast("long"))
+        .withColumn("pos", instr(col("text"), "data").cast("long"))
+        .filter(col("pos") > 0)
+        .select(col("doc_id"), col("lang"),
+          (col("base_ind") + col("pos") - 1).as("global_start"),
+          (col("base_ind") + col("pos") - 1 + lit(4)).as("global_end"))
+    }),
+
+    // F2: <NEW_LINE> escape + exact length recovery
+    // (dhp_fhir_tool1_v1.py:245-246, app.py:1510-1519). Newlines are
+    // injected deterministically (replace ' merge ' -> \n) because the
+    // documents corpus itself is single-line; recovered_len must equal the
+    // injected text's true length — the off-by-one risk SURVEY §7.4.4 pins
+    "q22_newline_escape" -> ((s, dir) => {
+      val injected = regexp_replace(col("text"), " merge ", "\n")
+      val esc = operators.SpanTable.escapeNewlines(injected)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.SpanTable.newlineTokens(esc).cast("long").as("n_newlines"),
+          length(esc).cast("long").as("esc_len"),
+          operators.SpanTable.origLen(esc).cast("long").as("recovered_len"),
+          length(injected).cast("long").as("true_len"))
+    }),
+
+    // F10: artifact-name grammar with the reference's timestamp format
+    // '%Y%m%d%H%M%S%f' (app.py:1183) — deterministic event ts, no uuid (F3)
+    "q23_artifact_name" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_id") < 100)
+        .select(col("event_id"),
+          concat(date_format(col("ts"), "yyyyMMddHHmmssSSSSSS"),
+            lit("_medical_text_"), col("user_id"), lit("_"),
+            col("event_id")).as("artifact_name"))),
+
+    // U3 complement: EXCEPT (alongside q10's anti-join and q16's intersect)
+    "q24_except" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "click").select(col("user_id"))
+        .except(e.filter(col("value") > 90).select(col("user_id")))
+    }),
+
     // ---- training-data ops: dedup / text / similarity ----
 
     "dd_exact" -> ((s, dir) =>
@@ -338,6 +388,23 @@ object SparkEntry {
       import s.implicits._
       val gaz = Gazetteer.rows(cfgOf(dir).nBase).toDF()
       Canonicalize.canonicalConcepts(gaz).orderBy("concept_id")
+    }),
+    // §3.2 span-table export: gap-free tiling of every turn's text per
+    // ensemble round (the reference pipe artifact; byte-level golden gate
+    // in SpanTableSpec)
+    "kg_span_tiles" -> ((s, dir) => {
+      val cfg = cfgOf(dir)
+      val turnsDf = Pipeline.turns(s, cfg).toDF()
+      SpanTable.tile(Pipeline.mentions(s, cfg, turnsDf), turnsDf)
+        .orderBy("conv_id", "turn_idx", "try_index", "row_idx")
+    }),
+    // §3.2 read-back: conversation-global entity offsets spliced across the
+    // three per-round artifacts (app.py:1496-1523 semantics)
+    "kg_span_readback" -> ((s, dir) => {
+      val cfg = cfgOf(dir)
+      val turnsDf = Pipeline.turns(s, cfg).toDF()
+      SpanTable.readBack(SpanTable.tile(Pipeline.mentions(s, cfg, turnsDf), turnsDf))
+        .orderBy("conv_id", "turn_idx", "try_index", "start_ind")
     })
   )
 
@@ -442,6 +509,32 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END AS new_sess
         |    FROM events))
         |GROUP BY 1""".stripMargin,
+    "q21_offset_splice" ->
+      """SELECT doc_id, lang, global_start, global_start + 4 AS global_end FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(coalesce(sum(n_chars + 8) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + instr(text, 'data') - 1 AS BIGINT) AS global_start,
+        |    instr(text, 'data') AS pos
+        |  FROM documents) WHERE pos > 0""".stripMargin,
+    "q22_newline_escape" ->
+      """SELECT doc_id,
+        |  CAST((length(esc) - length(replace(esc, '<NEW_LINE>', ''))) // 10 AS BIGINT) AS n_newlines,
+        |  CAST(length(esc) AS BIGINT) AS esc_len,
+        |  CAST(length(esc) - (length(esc) - length(replace(esc, '<NEW_LINE>', ''))) // 10 * 9 AS BIGINT) AS recovered_len,
+        |  CAST(length(injected) AS BIGINT) AS true_len
+        |FROM (
+        |  SELECT doc_id, replace(text, ' merge ', chr(10)) AS injected,
+        |    replace(replace(text, ' merge ', chr(10)), chr(10), '<NEW_LINE>') AS esc
+        |  FROM documents)""".stripMargin,
+    "q23_artifact_name" ->
+      """SELECT event_id, strftime(ts, '%Y%m%d%H%M%S%f') || '_medical_text_'
+        |  || CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR) AS artifact_name
+        |FROM events WHERE event_id < 100""".stripMargin,
+    "q24_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE value > 90""".stripMargin,
     "dd_embed_neardup" ->
       """SELECT id_a, id_b, cos FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
