@@ -61,6 +61,23 @@ object Pipeline {
     Triples.all(turnAgg, SynthTranscripts.turnsMeta(spark, cfg.nConvs))
   }
 
+  /** Production-shape full run: the extraction output is written ONCE to
+    * stage tables and every triple branch reads it back — the split point
+    * the [[triples]] scaladoc promises. `linked` is the resumable product
+    * table (what [[graft.operators.GraphSink]] checkpoints at scale);
+    * `turn_agg` is its derived aggregate, materialized so the mentions and
+    * asserts branches share one agg instead of re-shuffling the parquet
+    * read twice. Extraction (the dominant stage) runs exactly once. */
+  def triplesStaged(spark: SparkSession, cfg: Config, stageDir: String): Dataset[Triple] = {
+    val t = turns(spark, cfg).toDF()
+    val l = linked(spark, cfg, mentions(spark, cfg, t))
+    l.write.mode("overwrite").parquet(s"$stageDir/linked")
+    val turnAgg = Aggregation.perTurn(spark.read.parquet(s"$stageDir/linked"))
+    turnAgg.write.mode("overwrite").parquet(s"$stageDir/turn_agg")
+    Triples.all(spark.read.parquet(s"$stageDir/turn_agg"),
+      SynthTranscripts.turnsMeta(spark, cfg.nConvs))
+  }
+
   /** Voted variant of the mention stream (the reference's
     * `dhp_fhir_tool1_v1voting.py` path). */
   def voted(spark: SparkSession, cfg: Config) = {

@@ -55,28 +55,57 @@ object Dedup {
   def minhashSignature(text: Column, m: Int = 32, k: Int = 3): Column =
     minhashSignatureOf(shingles(text, k), m)
 
+  /** Drop bucket keys whose member count exceeds `maxBucket`, returning the
+    * surviving (bucket-key..., id) rows. A degenerate corpus — k identical
+    * or boilerplate docs — puts k ids in ONE bucket and the self-join emits
+    * k² candidate pairs; the cap bounds any bucket's contribution to
+    * maxBucket². The contract is exact-dedup-first (identical texts collapse
+    * to one representative), so at sane corpora the cap never fires; when it
+    * does, the skipped buckets are near-identical boilerplate whose pairs
+    * exact/doc-level dedup already covers. Same prefix-filter idea as
+    * [[ngramJaccardPairs]]' maxDf. */
+  private def capBuckets(exploded: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val sizes = exploded.groupBy(keys: _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    // both sides shuffle on the bucket key — co-partitioned join, and the
+    // downstream self-join reuses the same partitioning
+    exploded.join(sizes, keyCols)
+  }
+
+  /** Candidate id pairs from a bucketed self-join: dedup happens on BARE
+    * id pairs (16 bytes) before any payload is re-attached, so the
+    * distinct() shuffle never carries signature arrays. */
+  private def bucketPairIds(buckets: DataFrame, keyCols: Seq[String]): DataFrame =
+    buckets.select(keyCols.map(col) :+ col("id").as("id_a"): _*)
+      .join(buckets.select(keyCols.map(col) :+ col("id").as("id_b"): _*), keyCols)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair can collide in several buckets
+
   /** MinHash+LSH near-dup pairs: band the signature (b bands × r rows),
     * join on equal band hash, verify estimated Jaccard = matching minhash
-    * fraction ≥ `threshold`. Returns (id_a, id_b, est_jaccard), id_a < id_b. */
+    * fraction ≥ `threshold`. Returns (id_a, id_b, est_jaccard), id_a < id_b.
+    * `maxBucket` caps any single band bucket's size (see [[capBuckets]]). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      m: Int = 32, bands: Int = 8, threshold: Double = 0.7, k: Int = 3): DataFrame = {
+      m: Int = 32, bands: Int = 8, threshold: Double = 0.7, k: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val r = m / bands
     // native codegen'd signature kernel (graft.functions.SignatureExprs);
     // bit-identical to minhashSignature (parity-tested), ~10× faster
     val sig = df.select(col(idCol).as("id"),
       graft.functions.SignatureExprs.minhashSig(col(textCol), m, k).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r)).cast("string"), b)))
         .as(Seq("band", "bkey")))
-    val a = banded.select(col("band"), col("bkey"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct() // a pair can collide in several bands
+    bucketPairIds(capBuckets(banded, Seq("band", "bkey"), maxBucket),
+        Seq("band", "bkey"))
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           eq => eq)) / lit(m.toDouble))
@@ -109,21 +138,21 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on 4×16-bit sub-keys (a pair within
     * hamming distance ≤ 3 of 64 bits must agree exactly on ≥1 of 4 blocks),
-    * verify with bit_count(xor) ≤ maxHamming. */
+    * verify with bit_count(xor) ≤ maxHamming. `maxBucket` caps any single
+    * block bucket's size (see [[capBuckets]]). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
       graft.functions.SignatureExprs.simhash64(col(textCol)).as("sig"))
-    val blocked = sigs.select(col("id"), col("sig"),
+    val blocked = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sig"), (b * 16).cast("int"))
           .bitwiseAND(lit(0xffffL))))
         .as(Seq("block", "bkey")))
-    val a = blocked.select(col("block"), col("bkey"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = blocked.select(col("block"), col("bkey"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("block", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+    bucketPairIds(capBuckets(blocked, Seq("block", "bkey"), maxBucket),
+        Seq("block", "bkey"))
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

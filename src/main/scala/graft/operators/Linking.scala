@@ -73,35 +73,14 @@ object Linking {
     * All against the broadcast gazetteer; `topK` candidates kept per
     * mention (reference ES `"size": 10`, `app.py:720`). */
   def linkBySurface(mentions: DataFrame, gaz: DataFrame, topK: Int = 10): DataFrame = {
-    val spark = mentions.sparkSession
-
     // Scores depend only on the surface STRING, and dictionary-matched
     // surfaces have gazetteer-bounded cardinality — so score each DISTINCT
     // surface once and broadcast the results back onto the mention stream
     // (10^12 mentions, 10^5 surfaces: the expensive explode+join+window
     // runs on the 10^5 side).
     val surfaces = mentions.select(col("surface")).distinct()
-
-    val aliasTok = gaz
-      .select(col("cui"), col("sab"), col("code"), col("str"),
-        explode(expr("array_distinct(split(lower(str), '[^a-z0-9]+'))")).as("token"))
-      .filter(length(col("token")) > 0)
-    val nAliases = gaz.count().toDouble
-    val idf = aliasTok.groupBy("token")
-      .agg(countDistinct(col("sab"), col("code"), col("str")).as("df"))
-      .withColumn("idf", log(lit(1.0) + lit(nAliases) / col("df")))
-
-    val scoredTokens = aliasTok.join(broadcast(idf), "token")
-
-    val sTok = surfaces
-      .select(col("surface"),
-        explode(expr("array_distinct(split(lower(surface), '[^a-z0-9]+'))")).as("token"))
-      .filter(length(col("token")) > 0)
-
-    // token-overlap join against the broadcast index, then two-phase agg
-    val cand = sTok.join(broadcast(scoredTokens), "token")
-      .groupBy(col("surface"), col("cui"), col("sab"), col("code"), col("str"))
-      .agg(round(sum(col("idf")), 9).as("score"))
+    val cand = clauseScores(surfaces.select(col("surface").as("q")), gaz)
+      .withColumnRenamed("q", "surface")
 
     val wTop = Window.partitionBy("surface")
       .orderBy(col("score").desc, length(col("str")).asc, col("code").asc, col("sab").asc)
@@ -115,5 +94,67 @@ object Linking {
           col("start"), col("end")))
       .select(col("mention_key"), col("surface"))
       .join(broadcast(perSurface), "surface")
+  }
+
+  /** One ES-should-clause analogue: idf-overlap score of every candidate
+    * alias against each distinct query string `q` (the shared scoring core
+    * of [[linkBySurface]] and [[linkFaceted]]). */
+  def clauseScores(queries: DataFrame, gaz: DataFrame): DataFrame = {
+    val aliasTok = gaz
+      .select(col("cui"), col("sab"), col("code"), col("str"),
+        explode(expr("array_distinct(split(lower(str), '[^a-z0-9]+'))")).as("token"))
+      .filter(length(col("token")) > 0)
+    val nAliases = gaz.count().toDouble
+    val idf = aliasTok.groupBy("token")
+      .agg(countDistinct(col("sab"), col("code"), col("str")).as("df"))
+      .withColumn("idf", log(lit(1.0) + lit(nAliases) / col("df")))
+    val scoredTokens = aliasTok.join(broadcast(idf), "token")
+    val qTok = queries
+      .select(col("q"),
+        explode(expr("array_distinct(split(lower(q), '[^a-z0-9]+'))")).as("token"))
+      .filter(length(col("token")) > 0)
+    // token-overlap join against the broadcast index, then two-phase agg
+    qTok.join(broadcast(scoredTokens), "token")
+      .groupBy(col("q"), col("cui"), col("sab"), col("code"), col("str"))
+      .agg(round(sum(col("idf")), 9).as("score"))
+  }
+
+  /** U4 faceted candidate search (reference `app.py:692-712`): the ES query
+    * is a bool-should of the concept surface PLUS every facet keyword, each
+    * a multi_match against the alias STR — a candidate's score is the sum
+    * of its per-clause scores. `mentions` carries
+    * `facets: map<string, array<string>>` (keyword_type -> keywords, the
+    * reference's `search` dict); null/empty facets degrade to surface-only
+    * scoring.
+    *
+    * Scale shape: scoring runs on DISTINCT (surface, facets) combos — maps
+    * aren't groupable in Spark, so combos key on the sorted entry array —
+    * and each distinct clause string is scored once; the 10^12-mention
+    * stream only ever broadcast-joins the finished per-combo rankings. */
+  def linkFaceted(mentions: DataFrame, gaz: DataFrame, topK: Int = 10): DataFrame = {
+    val norm = mentions.withColumn("fentries",
+      sort_array(map_entries(coalesce(col("facets"),
+        expr("map()").cast("map<string,array<string>>")))))
+    val combos = norm.select(col("surface"), col("fentries")).distinct()
+    // clauses of a combo: the surface + every facet keyword
+    val clauses = combos.select(col("surface"), col("fentries"),
+      explode(concat(array(col("surface")), flatten(col("fentries.value")))).as("q"))
+    val perClause = clauseScores(clauses.select("q").distinct(), gaz)
+    val scored = clauses.join(broadcast(perClause), "q")
+      .groupBy(col("surface"), col("fentries"),
+        col("cui"), col("sab"), col("code"), col("str"))
+      .agg(round(sum(col("score")), 9).as("score"))
+    val wTop = Window.partitionBy("surface", "fentries")
+      .orderBy(col("score").desc, length(col("str")).asc, col("code").asc, col("sab").asc)
+    val perCombo = scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= topK)
+      .withColumn("selected", col("rn") === 1)
+    norm
+      .withColumn("mention_key",
+        xxhash64(col("conv_id"), col("turn_idx"), col("try_index"),
+          col("start"), col("end")))
+      .select(col("mention_key"), col("surface"), col("fentries"))
+      .join(broadcast(perCombo), Seq("surface", "fentries"))
+      .drop("fentries")
   }
 }

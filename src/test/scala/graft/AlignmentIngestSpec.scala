@@ -73,4 +73,30 @@ class AlignmentIngestSpec extends GraftSuite {
     assert(out.forall(_._2 == expectedScore))
     assert(out.head._1 == "100" && out.head._4) // selected = rank 1
   }
+
+  test("linkFaceted: facet keywords flip the selected candidate (U4)") {
+    val gaz = Seq(
+      ("C1", "SNOMEDCT_US", "PT", "Y", "100", "renal failure"),
+      ("C2", "SNOMEDCT_US", "PT", "Y", "200", "acute renal failure"),
+      ("C3", "RXNORM", "PT", "Y", "R1", "aspirin")
+    ).toDF("cui", "sab", "tty", "ispref", "code", "str")
+    def mentions(facets: Map[String, Seq[String]]) =
+      Seq(("cv", 0, 0, 5, 18, "renal failure", facets))
+        .toDF("conv_id", "turn_idx", "try_index", "start", "end", "surface", "facets")
+    // no facets: surface-only semantics — shorter alias (code 100) wins
+    val plain = Linking.linkFaceted(mentions(Map.empty), gaz)
+      .filter(col("selected")).select("code").as[String].collect()
+    assert(plain.toSeq == Seq("100"))
+    // the reference's search-keyword should-clause: facet "severity: acute"
+    // scores against the alias STR and flips selection to the acute concept
+    val faceted = Linking.linkFaceted(mentions(Map("severity" -> Seq("acute"))), gaz)
+      .filter(col("selected")).select("code").as[String].collect()
+    assert(faceted.toSeq == Seq("200"))
+    // faceted-with-empty == surface-only scoring, candidate for candidate
+    val a = Linking.linkFaceted(mentions(Map.empty), gaz)
+      .select("code", "score", "rn").collect().map(_.toString).sorted.toSeq
+    val b = Linking.linkBySurface(mentions(Map.empty).drop("facets"), gaz)
+      .select("code", "score", "rn").collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }

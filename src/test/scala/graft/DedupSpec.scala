@@ -46,6 +46,31 @@ class DedupSpec extends GraftSuite {
       Set((1L, 2L, 0)))
   }
 
+  test("degenerate corpus: bucket cap kills the quadratic bucket, keeps honest pairs") {
+    // 500 identical docs co-bucket in EVERY band — uncapped, that is one
+    // 500²-pair bucket per band. The exact-dedup-first contract owns
+    // identical texts; the cap must (a) drop those buckets, (b) still find
+    // the planted near-dup pair living in small buckets.
+    val boiler = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"word$i").mkString(" ") + " altered tail here"
+    val degenerate = (10L until 510L).map(i => (i, boiler))
+    val d = docs(degenerate :+ (1L -> base) :+ (2L -> nearDup): _*)
+    val mh = Dedup.minhashLshPairs(d, "doc_id", "text",
+      m = 32, bands = 16, threshold = 0.4, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh === Set((1L, 2L))) // boiler pairs capped away, honest pair kept
+    val sh = Dedup.simhashPairs(d, "doc_id", "text",
+      maxHamming = 10, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sh.exists { case (a, b) => a >= 10L && b >= 10L })
+    // and with the cap above the corpus size, the quadratic bucket is back
+    // (sanity that the cap is what kills it)
+    val uncapped = Dedup.minhashLshPairs(d.filter(col("doc_id") < 60),
+      "doc_id", "text", m = 32, bands = 16, threshold = 0.4, maxBucket = 100000)
+    assert(uncapped.count() >= 48L * 49 / 2)
+  }
+
   test("ngram jaccard: exact on hand-computable shingle sets") {
     // "a b c d" shingles(k=2... here k=3): {abc, bcd}; "a b c e": {abc, bce}
     // jaccard = 1/3

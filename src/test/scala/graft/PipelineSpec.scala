@@ -107,6 +107,24 @@ class PipelineSpec extends GraftSuite {
     assert(t1 === t2)
   }
 
+  test("staged (stage-table) pipeline emits exactly the recompute pipeline's triples") {
+    val cfg = Pipeline.Config(nConvs = 15, nBase = 48)
+    val stage = java.nio.file.Files.createTempDirectory("graft_stage_test")
+    val staged = Pipeline.triplesStaged(spark, cfg, stage.toString).collect().toSet
+    val recompute = Pipeline.triples(spark, cfg).collect().toSet
+    assert(staged === recompute)
+    // the stage tables really are the split point: both exist and are read back
+    assert(new java.io.File(stage.toFile, "linked").exists())
+    assert(new java.io.File(stage.toFile, "turn_agg").exists())
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+  }
+
+  test("entry(): staged pipeline through the resumable sink, read back, rows > 0") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("subj") && df.columns.contains("pred"))
+  }
+
   test("confidence semantics: unique/3 with values in {1/3, 2/3, 1}") {
     val cfg = Pipeline.Config(nConvs = 20, nBase = 48)
     val confs = Pipeline.triples(spark, cfg)
