@@ -164,13 +164,15 @@ object SparkEntry {
         .groupBy(col("a_type"), col("b_type")).agg(count(lit(1)).as("n"))
     }),
 
-    // P7: completeness predicate (all types present per key)
+    // P7: completeness predicate (all types present per key). The
+    // distinct-type total joins in as a broadcast single row — one job, no
+    // driver-side .head() barrier between counting and filtering
     "q14_completeness" -> ((s, dir) => {
       val e = t(s, dir, "events")
-      val total = e.agg(countDistinct(col("event_type"))).head().getLong(0)
+      val total = e.agg(countDistinct(col("event_type")).as("total"))
       e.groupBy(col("user_id"))
         .agg(countDistinct(col("event_type")).as("nt"))
-        .filter(col("nt") === total)
+        .join(broadcast(total), col("nt") === col("total"))
         .agg(count(lit(1)).as("n_complete_users"))
     }),
 
@@ -400,6 +402,16 @@ object SparkEntry {
         .filter(col("selected"))
         .groupBy(col("sab"), col("code")).agg(count(lit(1)).as("n"))
         .orderBy("sab", "code")
+    }),
+    // §3.3 batch export: per-conversation labeling JSON (nested entities
+    // hierarchy, review defaults pinned; round-trip-tested in
+    // ScaleTechniquesSpec)
+    "kg_export_json" -> ((s, dir) => {
+      val cfg = cfgOf(dir)
+      val l = Pipeline.linked(s, cfg,
+        Pipeline.mentions(s, cfg, Pipeline.turns(s, cfg).toDF()))
+      Export.conceptJson(Aggregation.perConv(Aggregation.perTurn(l)))
+        .orderBy("conv_id")
     }),
     // U4 faceted candidate search: deterministic facet planting (half the
     // mentions carry the reference's search-keyword dict analogue) —

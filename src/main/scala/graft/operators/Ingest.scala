@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,24 @@ object Ingest {
       .when(col("text").isNull || length(col("text")) === 0, "empty_text")
       .when(col("ts").isNull, "null_ts")
       .otherwise(lit(null).cast("string"))
+  }
+
+  /** P5 dedicated column remap (reference type-code mapping
+    * `src/app.py:1171-1181`): value -> mapped value via one when-chain,
+    * unmapped values -> `default` (None keeps the original value). Stays a
+    * narrow codegen'd projection whatever the mapping size. */
+  def remapColumn(df: DataFrame, column: String,
+      mapping: Map[String, String], default: Option[String] = None): DataFrame = {
+    val c = col(column)
+    val chain = mapping.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (from, to)) =>
+        Some(acc.fold(when(c === from, to))(_.when(c === from, to)))
+    }
+    val mapped = chain match {
+      case Some(ch) => ch.otherwise(default.map(lit).getOrElse(c))
+      case None     => default.map(lit(_).cast("string")).getOrElse(c)
+    }
+    df.withColumn(column, mapped)
   }
 
   /** (valid turns — exactly one row per (conv_id, turn_idx), latest ts wins;

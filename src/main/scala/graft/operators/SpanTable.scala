@@ -121,20 +121,38 @@ object SpanTable {
   /** §3.2 read-back: per-entity GLOBAL offsets across the per-round
     * artifacts of one turn, laid end to end with the 8-char separator
     * (`src/app.py:1496-1523`). Skips gap rows and `<LOST>` crosswalk
-    * misses exactly as the reference does. */
+    * misses exactly as the reference does.
+    *
+    * Single-lineage plan: a groupBy-then-join-back would consume `tiles`
+    * twice and RECOMPUTE its whole upstream DAG (extraction included) for
+    * each branch — measured 5.0s vs 2.8s for the tiling alone at sf0.1.
+    * Instead both the per-artifact length and the running base are window
+    * functions over one explicitly co-partitioned pass: file_len is the
+    * artifact-window max (the reference's last_ind + orig_len(last_chunk) —
+    * it trusts the file, not the text), and base is the running sum of
+    * prior artifacts' (file_len + 8), derived from first-row markers. */
   def readBack(tiles: DataFrame): DataFrame = {
-    // per-artifact length from the tiling itself (last_ind + orig_len of
-    // the last chunk — the reference trusts the file, not the text)
-    val fileLen = tiles
-      .groupBy(col("conv_id"), col("turn_idx"), col("try_index"))
-      .agg(max(col("idx") + origLen(col("chunk"))).as("file_len"))
-    val w = Window.partitionBy("conv_id", "turn_idx").orderBy("try_index")
+    // one exchange on (conv, turn): satisfies BOTH window requirements
+    // ((conv,turn,try) is a superset clustering), so the artifact window
+    // and the running window add only sorts, never a second shuffle
+    val wArt = Window.partitionBy("conv_id", "turn_idx", "try_index")
+    val wRun = Window.partitionBy("conv_id", "turn_idx")
+      .orderBy("try_index", "row_idx")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val base = fileLen.withColumn("base_ind",
-      coalesce(sum(col("file_len") + lit(FileSeparatorLen)).over(w), lit(0L)))
-      .select(col("conv_id"), col("turn_idx"), col("try_index"), col("base_ind"))
-    tiles.filter(col("is_entity") && col("code") =!= LostCode)
-      .join(base, Seq("conv_id", "turn_idx", "try_index"))
+    val sep = lit(FileSeparatorLen.toLong)
+    val withLen = tiles
+      .repartition(col("conv_id"), col("turn_idx"))
+      .withColumn("file_len",
+        max(col("idx") + origLen(col("chunk"))).over(wArt).cast("long"))
+    // each artifact's first row carries its (file_len + 8) contribution;
+    // the running sum over prior rows then over-counts exactly the OWN
+    // artifact's contribution for rows past the first — subtract it back
+    val withBase = withLen
+      .withColumn("base_ind",
+        coalesce(sum(when(col("row_idx") === 0, col("file_len") + sep)
+          .otherwise(lit(0L))).over(wRun), lit(0L))
+          - when(col("row_idx") > 0, col("file_len") + sep).otherwise(lit(0L)))
+    withBase.filter(col("is_entity") && col("code") =!= LostCode)
       .select(col("conv_id"), col("turn_idx"), col("try_index"),
         (col("base_ind") + col("idx")).as("start_ind"),
         (col("base_ind") + col("idx") + origLen(col("chunk"))).as("end_ind"),

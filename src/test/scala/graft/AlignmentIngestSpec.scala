@@ -53,6 +53,17 @@ class AlignmentIngestSpec extends GraftSuite {
     assert(valid.count() + quarantine.count() == rows.count()) // conservation
   }
 
+  test("remapColumn: mapped, unmapped-with-default, unmapped-passthrough, null") {
+    val d = Seq(("ER"), ("HR"), ("LR"), ("XX"), (null: String)).toDF("type")
+    val m = Map("ER" -> "Entity", "HR" -> "High", "LR" -> "Low")
+    val mapped = Ingest.remapColumn(d, "type", m, default = Some("Full"))
+      .as[String].collect().toSeq
+    assert(mapped == Seq("Entity", "High", "Low", "Full", "Full"))
+    val passthrough = Ingest.remapColumn(d, "type", m)
+      .as[String].collect().toSeq
+    assert(passthrough == Seq("Entity", "High", "Low", "XX", null))
+  }
+
   test("linkBySurface: idf-overlap scoring, top-k, deterministic selection") {
     val gaz = Seq(
       ("C1", "SNOMEDCT_US", "PT", "Y", "100", "renal failure"),

@@ -46,6 +46,53 @@ class PropertySpec extends GraftSuite {
     })
   }
 
+  test("span tiling + read-back invariants hold on 30 random (text, spans) cases (one Spark job)") {
+    import graft.model.Mention
+    import graft.operators.SpanTable
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // random newline-bearing texts with random non-overlapping spans per try
+    val cases = (0 until 30).map { i =>
+      val text = (0 until 3 + rnd.nextInt(40)).map { _ =>
+        if (rnd.nextInt(6) == 0) "\n" else ('a' + rnd.nextInt(26)).toChar.toString
+      }.mkString
+      val spans = (0 to 2).flatMap { t =>
+        var pos = 0
+        val out = Vector.newBuilder[(Int, Int, Int)]
+        while (pos < text.length - 1 && rnd.nextInt(3) > 0) {
+          val s = pos + rnd.nextInt(math.max(1, text.length - pos - 1))
+          val e = math.min(text.length, s + 1 + rnd.nextInt(6))
+          if (e > s) { out += ((t, s, e)); pos = e } else pos = text.length
+        }
+        out.result()
+      }
+      (s"c$i", text, spans)
+    }
+    val mentions = cases.flatMap { case (cid, text, spans) =>
+      spans.map { case (t, s, e) =>
+        Mention(cid, 0, t, s, e, text.substring(s, e), "C1", "SRC", "X", "name", 0.9) }
+    }.toDS().toDF()
+    val turns = cases.map { case (cid, text, _) => (cid, 0, text) }
+      .toDF("conv_id", "turn_idx", "text")
+    val tiles = SpanTable.tile(mentions, turns).cache()
+    // invariant 1: per artifact, chunks tile [0, len) exactly
+    val lens = cases.map { case (cid, text, _) => cid -> text.length }.toMap
+    tiles.groupBy("conv_id", "try_index")
+      .agg(sum(SpanTable.origLen(col("chunk"))).as("s")).collect()
+      .foreach(r => assert(r.getLong(2) == lens(r.getString(0)).toLong, r.toString))
+    // invariant 2: read-back start == try * (len + 8) + span start, for all
+    val got = SpanTable.readBack(tiles)
+      .select("conv_id", "try_index", "start_ind", "end_ind")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val want = cases.flatMap { case (cid, text, spans) =>
+      spans.map { case (t, s, e) =>
+        (cid, t, (t * (text.length + 8) + s).toLong, (t * (text.length + 8) + e).toLong) }
+    }.toSet
+    assert(got == want)
+    tiles.unpersist()
+  }
+
   test("connected components == driver union-find on 40 random graphs (one Spark job)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

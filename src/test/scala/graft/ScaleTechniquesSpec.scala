@@ -61,6 +61,40 @@ class ScaleTechniquesSpec extends GraftSuite {
     }
   }
 
+  test("§3.3 export: nested JSON hierarchy round-trips and matches the flat CSV twin") {
+    import graft.operators.{Aggregation, Export}
+    import org.apache.spark.sql.types._
+    val cfg = Pipeline.Config(nConvs = 8, nBase = 48)
+    val l = Pipeline.linked(spark, cfg,
+      Pipeline.mentions(spark, cfg, Pipeline.turns(spark, cfg).toDF()))
+    val convAgg = Aggregation.perConv(Aggregation.perTurn(l)).cache()
+    val json = Export.conceptJson(convAgg)
+    val flat = Export.conceptFlat(convAgg)
+    assert(json.count() == convAgg.select("conv_id").distinct().count())
+    // parse the JSON back: per-conv entity count equals the flat twin's
+    val entSchema = StructType(Seq(StructField("entities", ArrayType(StructType(Seq(
+      StructField("source", StringType), StructField("code", StringType),
+      StructField("code_name", StringType), StructField("text", StringType),
+      StructField("icd10cm", StructType(Seq(StructField("code", StringType),
+        StructField("name", StringType)))),
+      StructField("unique", IntegerType), StructField("confidence", DoubleType),
+      StructField("count", IntegerType), StructField("correctness", BooleanType),
+      StructField("insurance_related", BooleanType), StructField("remark", StringType)))))))
+    val parsed = json.select(col("conv_id"),
+      explode(from_json(col("json"), entSchema).getField("entities")).as("e"))
+    val a = parsed.select(col("conv_id"), col("e.source"), col("e.code"),
+        col("e.count"), col("e.icd10cm.code"))
+      .collect().map(_.toString).sorted.toSeq
+    val b = flat.select(col("conv_id"), col("source"), col("code"),
+        col("count"), col("icd10cm_code"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // the review defaults are pinned as the reference writes them
+    val defaults = flat.select("correctness", "insurance_related", "remark").distinct().collect()
+    assert(defaults.map(_.toString).toSet == Set("[true,false,]"))
+    convAgg.unpersist()
+  }
+
   test("F8: triple qualifiers round-trip through to_json/from_json") {
     val cfg = Pipeline.Config(nConvs = 8, nBase = 48)
     val triples = Pipeline.triples(spark, cfg).toDF()
