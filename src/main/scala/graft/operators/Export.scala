@@ -43,6 +43,36 @@ object Export {
       .select(col("conv_id"),
         to_json(struct(col("entities"))).as("json"))
 
+  /** F9 SQL-string escaping (`labeling_transform_db.py:272-275`): the
+    * reference doubles single quotes inside string literals. */
+  def sqlQuote(c: Column): Column =
+    concat(lit("'"), regexp_replace(c, "'", "''"), lit("'"))
+
+  private def sqlLit(c: Column): Column =
+    when(c.isNull, lit("NULL")).otherwise(sqlQuote(c))
+
+  /** Bulk-SQL export rows (`labeling_transform_db.py:262-291`): one
+    * `(...)` VALUES tuple per entity for the reference's `entities` table.
+    * The crosswalk-missing case writes NULL (not 'N/A'); entity ids are
+    * deterministic hashes, not uuid4 (F3). One narrow projection — the SQL
+    * text never round-trips through a driver loop. */
+  def entityInsertValues(convAgg: DataFrame): DataFrame =
+    convAgg.select(col("conv_id"),
+      concat(lit("("),
+        sqlQuote(concat(lit("ent-"), format_string("%016x",
+          xxhash64(col("conv_id"), col("source"), col("code"))))), lit(", "),
+        sqlQuote(col("conv_id")), lit(", "),
+        sqlQuote(col("source")), lit(", "),
+        sqlQuote(col("code")), lit(", "),
+        sqlQuote(col("concept_name")), lit(", "),
+        sqlQuote(regexp_replace(col("text"), "\n", "\\\\n")), lit(", "),
+        sqlLit(col("icd10_code")), lit(", "),
+        sqlLit(col("icd10_name")), lit(", "),
+        col("unique_count").cast("string"), lit(", "),
+        col("total_count").cast("string"), lit(", "),
+        col("confidence").cast("string"),
+        lit(")")).as("values_sql"))
+
   /** Flat CSV twin (`labeling_transform.py:162-165`): the same entities,
     * one row per entity with the icd10cm struct flattened. */
   def conceptFlat(convAgg: DataFrame): DataFrame =

@@ -95,6 +95,28 @@ class ScaleTechniquesSpec extends GraftSuite {
     convAgg.unpersist()
   }
 
+  test("F9: SQL VALUES export doubles quotes and NULLs missing crosswalks") {
+    import graft.operators.Export
+    val agg = Seq(
+      ("cv1", "SNOMEDCT_US", "100", "o'brien's sign", "seen o'brien today",
+        3, 2, 2.0 / 3, Some("A10.1"), Some("o'brien dx")),
+      ("cv1", "RXNORM", "R1", "aspirin", "aspirin", 1, 1, 1.0 / 3,
+        None: Option[String], None: Option[String])
+    ).toDF("conv_id", "source", "code", "concept_name", "text",
+      "total_count", "unique_count", "confidence", "icd10_code", "icd10_name")
+    val rows = Export.entityInsertValues(agg)
+      .select("values_sql").as[String].collect().sorted
+    // quote doubling exactly like the reference's replace("'", "''")
+    assert(rows.exists(_.contains("'o''brien''s sign'")))
+    assert(rows.exists(_.contains("'seen o''brien today'")))
+    // crosswalk miss -> bare NULL literals, not quoted strings
+    assert(rows.exists(_.contains(", NULL, NULL,")))
+    // deterministic entity ids (no uuid4): same input, same id
+    val again = Export.entityInsertValues(agg)
+      .select("values_sql").as[String].collect().sorted
+    assert(rows.sameElements(again))
+  }
+
   test("F8: triple qualifiers round-trip through to_json/from_json") {
     val cfg = Pipeline.Config(nConvs = 8, nBase = 48)
     val triples = Pipeline.triples(spark, cfg).toDF()

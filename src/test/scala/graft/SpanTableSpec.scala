@@ -142,6 +142,28 @@ class SpanTableSpec extends GraftSuite {
     }
   }
 
+  test("readBack plan hygiene: tiles lineage appears once, windows share one exchange") {
+    // regression for the groupBy-join-back shape that recomputed the whole
+    // tiling DAG (extraction included) per branch. conv id differs from
+    // fixtureTiles so the suite's cached copy can't substitute an
+    // InMemoryRelation into this plan.
+    val mentions = spansByTry.toSeq.flatMap { case (t, ss) =>
+      ss.map(s => Mention("cp", 0, t, s.start, s.end, text.substring(s.start, s.end),
+        s.cui, s.source, s.code, s.term, s.acc))
+    }.toDS().toDF()
+    val turns = Seq(("cp", 0, text)).toDF("conv_id", "turn_idx", "text")
+    val plan = SpanTable.readBack(SpanTable.tile(mentions, turns))
+      .queryExecution.executedPlan.toString
+    val generates = plan.linesIterator.count(_.contains("Generate"))
+    assert(generates == 1, s"tile posexplode must appear once:\n$plan")
+    // exactly two hash exchanges: the span groupBy and the (conv,turn)
+    // co-partitioning both windows share
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 exchanges, plan:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Window")) == 2)
+  }
+
   test("corpus: tiling holds on the real pipeline mentions (incl. zero-span turns)") {
     val cfg = Pipeline.Config(12, 48)
     val turns = Pipeline.turns(spark, cfg).toDF().cache()
