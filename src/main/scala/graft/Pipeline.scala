@@ -47,13 +47,17 @@ object Pipeline {
     val t = turns(spark, cfg).toDF()
     val m = mentions(spark, cfg, t)
     val l = linked(spark, cfg, m)
-    // NOT cached, deliberately: the mentions and asserts branches both
-    // recompute turnAgg (attribute-dedup in the self-referencing union
-    // defeats AQE stage reuse), but caching was MEASURED a wash — columnar
-    // cache write+read of the 1.2M-row aggregate costs as much CPU as the
-    // second extraction it avoids, and a lazy cache even races itself when
-    // both consumer stages run concurrently in one job. At production
-    // scale the materialized stage tables (GraphSink) are the split point.
+    // NOT materialized, deliberately — re-measured in round 2 at mult=32,
+    // local[32], 16g heap (KgTime): recompute 17.7s vs eager
+    // MEMORY_AND_DISK persist 23.8s vs eager localCheckpoint 21.4s. The
+    // self-referencing union defeats AQE stage reuse, so the mentions and
+    // asserts branches DO both run extraction (~190s CPU each at that
+    // scale) — but the two extraction stages run CONCURRENTLY in one job
+    // at near-full core utilization, while any eager materialization
+    // serializes fill-job → read-job and pays an 8M-row block write/read
+    // on top. On one box, overlap beats dedup; on a cluster, the stage
+    // tables ([[triplesStaged]]) are the split that makes extraction run
+    // once durably.
     val turnAgg = Aggregation.perTurn(l)
     // the predicate branches read only turn METADATA — hand them the
     // text-free generator (generator-side column pruning; Triples.all

@@ -35,7 +35,9 @@ object Export {
 
   /** Per-conversation nested JSON export: one row per conv,
     * `{"entities":[...]}` with entities sorted by (source, code) — the
-    * reference's per-file llmExtract JSON, determinized. */
+    * reference's per-file llmExtract JSON, determinized. Written with
+    * `.select("json").write.text(...)` this IS the S5 ndjson bulk sink
+    * (one JSON document per line, ES `_bulk`-shaped). */
   def conceptJson(convAgg: DataFrame): DataFrame =
     convAgg
       .groupBy(col("conv_id"))

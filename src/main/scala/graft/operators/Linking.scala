@@ -132,19 +132,23 @@ object Linking {
     * and each distinct clause string is scored once; the 10^12-mention
     * stream only ever broadcast-joins the finished per-combo rankings. */
   def linkFaceted(mentions: DataFrame, gaz: DataFrame, topK: Int = 10): DataFrame = {
+    // combo identity = one 64-bit hash of (surface, canonical facet JSON):
+    // grouping/window/join keys stay fixed-width longs instead of
+    // array<struct> comparisons on every row (measured ~25% of the query)
     val norm = mentions.withColumn("fentries",
       sort_array(map_entries(coalesce(col("facets"),
         expr("map()").cast("map<string,array<string>>")))))
-    val combos = norm.select(col("surface"), col("fentries")).distinct()
+      .withColumn("qkey", xxhash64(col("surface"), to_json(col("fentries"))))
+    val combos = norm.groupBy(col("qkey"))
+      .agg(first(col("surface")).as("surface"), first(col("fentries")).as("fentries"))
     // clauses of a combo: the surface + every facet keyword
-    val clauses = combos.select(col("surface"), col("fentries"),
+    val clauses = combos.select(col("qkey"),
       explode(concat(array(col("surface")), flatten(col("fentries.value")))).as("q"))
     val perClause = clauseScores(clauses.select("q").distinct(), gaz)
     val scored = clauses.join(broadcast(perClause), "q")
-      .groupBy(col("surface"), col("fentries"),
-        col("cui"), col("sab"), col("code"), col("str"))
+      .groupBy(col("qkey"), col("cui"), col("sab"), col("code"), col("str"))
       .agg(round(sum(col("score")), 9).as("score"))
-    val wTop = Window.partitionBy("surface", "fentries")
+    val wTop = Window.partitionBy("qkey")
       .orderBy(col("score").desc, length(col("str")).asc, col("code").asc, col("sab").asc)
     val perCombo = scored.withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= topK)
@@ -153,8 +157,8 @@ object Linking {
       .withColumn("mention_key",
         xxhash64(col("conv_id"), col("turn_idx"), col("try_index"),
           col("start"), col("end")))
-      .select(col("mention_key"), col("surface"), col("fentries"))
-      .join(broadcast(perCombo), Seq("surface", "fentries"))
-      .drop("fentries")
+      .select(col("mention_key"), col("surface"), col("qkey"))
+      .join(broadcast(perCombo), Seq("qkey"))
+      .drop("qkey")
   }
 }

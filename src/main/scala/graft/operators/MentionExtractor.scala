@@ -122,6 +122,14 @@ object MentionExtractor {
   /** Match one segment with one variant; offsets in TURN coordinates. */
   def matchSegment(seg: Segment, vIdx: Int, variant: Variant): Iterator[Mention] = {
     val (toks0, starts, ends) = tokenize(seg.seg_text)
+    matchTokens(seg, vIdx, variant, toks0, starts, ends)
+  }
+
+  /** Variant matching over PRE-tokenized text: the ensemble runs 3 variants
+    * per segment and tokenization (substring + lowercase allocation) is the
+    * shared prefix — the caller tokenizes once, not once per variant. */
+  def matchTokens(seg: Segment, vIdx: Int, variant: Variant,
+      toks0: Array[String], starts: Array[Int], ends: Array[Int]): Iterator[Mention] = {
     val toks = if (variant.stem) toks0.map(stemToken) else toks0
     val ids = toks.map(variant.ac.tokenId)
     val hits = variant.ac.findAll(ids)
@@ -152,7 +160,9 @@ object MentionExtractor {
         val fp = gazFingerprint(gazB.value)
         val variants = Array.tabulate(3)(v => variantFor(fp, gazB.value, v))
         it.flatMap { seg =>
-          (0 to 2).iterator.flatMap(v => matchSegment(seg, v, variants(v)))
+          val (toks0, starts, ends) = tokenize(seg.seg_text)
+          (0 to 2).iterator.flatMap(v =>
+            matchTokens(seg, v, variants(v), toks0, starts, ends))
         }
       }
     }

@@ -92,6 +92,13 @@ class ScaleTechniquesSpec extends GraftSuite {
     // the review defaults are pinned as the reference writes them
     val defaults = flat.select("correctness", "insurance_related", "remark").distinct().collect()
     assert(defaults.map(_.toString).toSet == Set("[true,false,]"))
+    // S5 ndjson bulk sink: one JSON doc per line, parseable on read-back
+    val dir = java.nio.file.Files.createTempDirectory("ndjson").toString
+    json.select("json").write.mode("overwrite").text(dir)
+    val lines = spark.read.text(dir)
+    assert(lines.count() == json.count())
+    assert(lines.select(from_json(col("value"), entSchema).as("t"))
+      .filter(col("t").isNull).count() == 0) // every line parses
     convAgg.unpersist()
   }
 
