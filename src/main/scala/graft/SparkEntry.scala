@@ -282,6 +282,32 @@ object SparkEntry {
           .select(col("user_id")))
     }),
 
+    // F-family: fuzzy string distance (the MedCAT-style fuzzy-match
+    // primitive) at the SQL surface — edit-distance histogram vs a probe
+    "q26_fuzzy" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(levenshtein(col("p_name"), lit("forest green")).as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))),
+
+    // A-family: CUBE grouping sets (all four (type, hi) marginals)
+    "q27_cube" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("hi", col("value") > 50)
+        .cube(col("event_type"), col("hi"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))),
+
+    // A-family: exact interpolated percentiles per group
+    "q28_percentile" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"))),
+
+    // F-family: array ops over tokenized text (distinct-vocabulary size)
+    "q29_distinct_words" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        size(array_distinct(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          w => length(w) > 0))).as("n_distinct_words"))),
+
     // composed curation pipeline (the training-data shape: exact-dedup to
     // canonical docs -> language gate -> quality gate -> per-source stats),
     // every stage a column expression over one scan + one dedup groupBy
@@ -630,6 +656,22 @@ object SparkEntry {
     "dd_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
         |count(*) AS dup_count FROM documents GROUP BY 1""".stripMargin,
+    "q26_fuzzy" ->
+      """SELECT levenshtein(p_name, 'forest green') AS d, count(*) AS n
+        |FROM part GROUP BY 1""".stripMargin,
+    "q27_cube" ->
+      """SELECT event_type, (value > 50) AS hi, count(*) AS n,
+        |round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY CUBE (event_type, hi)""".stripMargin,
+    "q28_percentile" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+        |round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY 1""".stripMargin,
+    "q29_distinct_words" ->
+      """SELECT doc_id, len(list_distinct(list_filter(
+        |  string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0)))
+        |  AS n_distinct_words
+        |FROM documents""".stripMargin,
     "q25_curate" ->
       """SELECT source, count(*) AS n, round(avg(q), 4) AS avg_q FROM (
         |  SELECT source, round((
