@@ -32,9 +32,13 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
+    // LAZY checkpoints throughout the loop: the convergence aggregate that
+    // immediately follows doubles as the materialization action, so each
+    // round costs ONE job (checkpoint-then-sum was two) while the plan
+    // lineage still truncates to a flat LogicalRDD every round.
     var comp = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // decimal(38,0) sum: ids are arbitrary 64-bit hashes, ANSI mode would
     // overflow a long sum; the decimal sum stays exact and monotone
@@ -52,7 +56,7 @@ object ConnectedComponents {
       val next = comp.join(nbrMin, comp("id") === nbrMin("nid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = compSum(next)
       converged = s.compareTo(lastSum) == 0
       lastSum = s

@@ -82,6 +82,21 @@ object StreamingTriples {
       .foreachBatch(commitBatch(gaz, gazDf, dir) _)
       .start()
 
+  /** Event-time windowed turn statistics — the canonical watermark +
+    * tumbling-window streaming aggregation (builder brief §streams:
+    * "watermarks + windowed aggs"). Append mode emits a (window, role) row
+    * exactly once, when the watermark passes the window end; rows later
+    * than the watermark are dropped as late. The same expression tree runs
+    * unchanged on a batch DataFrame (tested equal). */
+  def windowedTurnStats(turns: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    turns.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("role"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(instr(col("text"), "renal") > 0, 1).otherwise(0)).as("n_renal"))
+      .select(col("window.start").as("w_start"), col("role"),
+        col("n_turns"), col("n_renal"))
+
   /** Running per-conversation concept support, maintained incrementally
     * with explicit state (the `flatMapGroupsWithState` surface): for every
     * micro-batch of mentions the per-(conv, source:code) distinct-round set

@@ -101,6 +101,43 @@ class StreamingSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("windowed agg: streaming complete-mode == batch; append emits only watermark-closed windows") {
+    import org.apache.spark.sql.functions._
+    val ms = MemoryStream[Turn]
+    val q = StreamingTriples.windowedTurnStats(ms.toDF())
+      .writeStream.format("memory").queryName("win_complete")
+      .outputMode("complete").start()
+    val (b1, b2) = allTurns.partition(_.turn_idx % 2 == 0)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("win_complete").collect().map(_.toString).sorted.toSeq
+    val want = StreamingTriples.windowedTurnStats(allTurns.toDS().toDF())
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+
+    // append mode: only windows the watermark has passed are emitted
+    val ms2 = MemoryStream[Turn]
+    val q2 = StreamingTriples.windowedTurnStats(ms2.toDF())
+      .writeStream.format("memory").queryName("win_append")
+      .outputMode("append").start()
+    ms2.addData(allTurns); q2.processAllAvailable()
+    // watermark advances only on the NEXT batch after max(ts) is seen
+    ms2.addData(Seq.empty[Turn]); q2.processAllAvailable()
+    q2.stop()
+    val appended = spark.table("win_append").collect().map(_.toString).toSet
+    val all = want.toSet
+    assert(appended.subsetOf(all))
+    // every window strictly before max(ts) - watermark must have flushed
+    val maxTs = allTurns.map(_.ts.getTime).max
+    val horizon = maxTs - 30 * 60 * 1000
+    val expectClosed = StreamingTriples.windowedTurnStats(allTurns.toDS().toDF())
+      .filter(col("w_start") + expr("INTERVAL 1 HOUR") <= lit(new java.sql.Timestamp(horizon)))
+      .collect().map(_.toString).toSet
+    assert(expectClosed.subsetOf(appended))
+    assert(appended.size < all.size) // the still-open windows are withheld
+  }
+
   test("watermarked dedup absorbs duplicate turn arrivals") {
     val dir = Files.createTempDirectory("kgstream2").toString
     val ckpt = Files.createTempDirectory("kgckpt2").toString
