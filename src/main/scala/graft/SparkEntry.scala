@@ -282,6 +282,20 @@ object SparkEntry {
           .select(col("user_id")))
     }),
 
+    // As-of join (the latest-pointer resolution generalized; DuckDB checks
+    // it with its NATIVE ASOF JOIN): each click joins the user's most
+    // recent at-or-before signup — |L|+|R| through one shuffle, never a
+    // range-exploded self-join
+    "q30_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.asOf(clicks, signups, Seq("user_id"), "ts")
+        .filter(col("asof").isNotNull)
+        .select(col("event_id"), col("asof.event_id").as("signup_event_id"))
+    }),
+
     // F-family: fuzzy string distance (the MedCAT-style fuzzy-match
     // primitive) at the SQL surface — edit-distance histogram vs a probe
     "q26_fuzzy" -> ((s, dir) =>
@@ -656,6 +670,12 @@ object SparkEntry {
     "dd_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
         |count(*) AS dup_count FROM documents GROUP BY 1""".stripMargin,
+    "q30_asof" ->
+      """SELECT a.event_id, b.event_id AS signup_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'signup') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin,
     "q26_fuzzy" ->
       """SELECT levenshtein(p_name, 'forest green') AS d, count(*) AS n
         |FROM part GROUP BY 1""".stripMargin,

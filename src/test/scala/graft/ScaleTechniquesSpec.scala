@@ -124,6 +124,31 @@ class ScaleTechniquesSpec extends GraftSuite {
     assert(rows.sameElements(again))
   }
 
+  test("asOf join == naive maximal at-or-before lookup (incl. equal-ts and no-match)") {
+    import graft.operators.AsOfJoin
+    val rnd = new scala.util.Random(11)
+    // random left/right rows over few keys; ts collisions guaranteed
+    val right = (0 until 60).map(i => (s"k${rnd.nextInt(4)}", rnd.nextInt(40).toLong, i))
+      .distinct.toDF("key", "ts", "rid")
+    val left = (0 until 120).map(i => (s"k${rnd.nextInt(6)}", rnd.nextInt(50).toLong, i))
+      .toDF("key", "ts", "lid")
+    val got = AsOfJoin.asOf(left, right, Seq("key"), "ts")
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    // naive: per left row, the right row with max (ts, rid) among ts <= l.ts
+    val rightRows = right.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    left.collect().foreach { l =>
+      val (k, ts, lid) = (l.getString(0), l.getLong(1), l.getInt(2))
+      val cand = rightRows.filter(r => r._1 == k && r._2 <= ts)
+      val want = if (cand.isEmpty) None
+        else Some(cand.maxBy(r => (r._2, r._3))._3)
+      assert(got(lid) == want, s"left $lid key $k ts $ts")
+    }
+    // exactly one output row per left row (never duplicates, never drops)
+    assert(got.size == 120)
+  }
+
   test("F8: triple qualifiers round-trip through to_json/from_json") {
     val cfg = Pipeline.Config(nConvs = 8, nBase = 48)
     val triples = Pipeline.triples(spark, cfg).toDF()
