@@ -296,6 +296,17 @@ object SparkEntry {
         .select(col("event_id"), col("asof.event_id").as("signup_event_id"))
     }),
 
+    // Banded range join (J3 generalized): interval-overlap pairs through an
+    // equi-join on fixed-width bands + exact residual — never |group|²
+    "q31_range_join" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          col("value").as("start"), (col("value") + 5).as("end"))
+      RangeJoin.overlapPairs(iv, Seq("event_type"), "event_id",
+          "start", "end", bandWidth = 5.0)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
     // F-family: fuzzy string distance (the MedCAT-style fuzzy-match
     // primitive) at the SQL surface — edit-distance histogram vs a probe
     "q26_fuzzy" -> ((s, dir) =>
@@ -670,6 +681,12 @@ object SparkEntry {
     "dd_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
         |count(*) AS dup_count FROM documents GROUP BY 1""".stripMargin,
+    "q31_range_join" ->
+      """SELECT a.event_type, count(*) AS n
+        |FROM events a JOIN events b
+        |  ON a.event_type = b.event_type AND a.event_id < b.event_id
+        | AND a.value < b.value + 5 AND b.value < a.value + 5
+        |GROUP BY 1""".stripMargin,
     "q30_asof" ->
       """SELECT a.event_id, b.event_id AS signup_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') a

@@ -149,6 +149,25 @@ class ScaleTechniquesSpec extends GraftSuite {
     assert(got.size == 120)
   }
 
+  test("banded range join == naive all-pairs overlap; band width doesn't change results") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 150).map { i =>
+      val s = rnd.nextDouble() * 100
+      (s"k${rnd.nextInt(3)}", i, s, s + rnd.nextDouble() * 12)
+    }
+    val df = rows.toDF("key", "id", "start", "end")
+    def run(w: Double) = RangeJoin.overlapPairs(df, Seq("key"), "id", "start", "end", w)
+      .select("id_a", "id_b").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val naive = (for {
+      a <- rows; b <- rows
+      if a._1 == b._1 && a._2 < b._2 && a._3 < b._4 && b._3 < a._4
+    } yield (a._2, b._2)).toSet
+    assert(run(5.0) == naive && naive.nonEmpty)
+    // band width is a performance knob, not a semantics knob
+    assert(run(0.7) == naive && run(40.0) == naive)
+  }
+
   test("F8: triple qualifiers round-trip through to_json/from_json") {
     val cfg = Pipeline.Config(nConvs = 8, nBase = 48)
     val triples = Pipeline.triples(spark, cfg).toDF()
