@@ -298,12 +298,14 @@ object SparkEntry {
 
     // Banded range join (J3 generalized): interval-overlap pairs through an
     // equi-join on fixed-width bands + exact residual — never |group|²
+    // width 0.2 keeps the intrinsic pair count (a property of the
+    // predicate, identical for any implementation) ~4M at sf0.1
     "q31_range_join" -> ((s, dir) => {
       val iv = t(s, dir, "events")
         .select(col("event_type"), col("event_id"),
-          col("value").as("start"), (col("value") + 5).as("end"))
+          col("value").as("start"), (col("value") + 0.2).as("end"))
       RangeJoin.overlapPairs(iv, Seq("event_type"), "event_id",
-          "start", "end", bandWidth = 5.0)
+          "start", "end", bandWidth = 0.2)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     }),
 
@@ -685,7 +687,7 @@ object SparkEntry {
       """SELECT a.event_type, count(*) AS n
         |FROM events a JOIN events b
         |  ON a.event_type = b.event_type AND a.event_id < b.event_id
-        | AND a.value < b.value + 5 AND b.value < a.value + 5
+        | AND a.value < b.value + 0.2 AND b.value < a.value + 0.2
         |GROUP BY 1""".stripMargin,
     "q30_asof" ->
       """SELECT a.event_id, b.event_id AS signup_event_id
