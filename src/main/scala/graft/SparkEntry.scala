@@ -396,6 +396,17 @@ object SparkEntry {
       Multimodal.frameSamplePlan(Multimodal.synthAssets(t(s, dir, "documents")), 4)
         .select(col("asset_id"), size(col("frame_ids")).as("n_sampled"))),
 
+    // the injected SQL surface: the native codegen'd cosine kernel invoked
+    // by NAME from plain SQL (SparkSessionExtensions / registerAll)
+    "q32_sql_fn" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s) // idempotent
+      t(s, dir, "embeddings").createOrReplaceTempView("emb_v")
+      s.sql(
+        """SELECT vec_id, round(graft_cosine(embedding,
+          |  (SELECT embedding FROM emb_v WHERE vec_id = 0)), 6) AS cos
+          |FROM emb_v ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin)
+    }),
+
     // rows-only (non-SQL-expressible): LSH / signature / stubbed-decode ops
     "sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -759,6 +770,11 @@ object SparkEntry {
     "txt_fingerprint" ->
       """SELECT source, count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_distinct,
         |count(*) AS n FROM documents GROUP BY 1""".stripMargin,
+    "q32_sql_fn" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings e ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
     "sim_topk" ->
       """SELECT e.vec_id,
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

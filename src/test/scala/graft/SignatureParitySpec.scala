@@ -61,6 +61,34 @@ class SignatureParitySpec extends GraftSuite {
     assert(diff == 0)
   }
 
+  test("SQL-surface registration: named functions plan the identical kernels") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.registerAll(spark) // extensions also inject at build time
+    corpora.createOrReplaceTempView("sig_corpus")
+    val viaSql = spark.sql(
+      """SELECT graft_simhash64(text) AS s,
+        |graft_minhash_sig(text, 32, 3) AS m,
+        |graft_shingle_hashes(text, 3) AS h FROM sig_corpus""".stripMargin)
+    val viaCols = corpora.select(
+      SignatureExprs.simhash64(col("text")).as("s"),
+      SignatureExprs.minhashSig(col("text"), 32, 3).as("m"),
+      SignatureExprs.shingleHashes(col("text"), 3).as("h"))
+    assert(viaSql.collect().map(_.toString).sorted
+      .sameElements(viaCols.collect().map(_.toString).sorted))
+    // SQL-planned kernels stay in whole-stage codegen too
+    assert(viaSql.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    // cosine by name == Column API, on real embeddings
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.createOrReplaceTempView("emb_sig")
+    val a = spark.sql(
+      """SELECT vec_id, graft_cosine(embedding, embedding) AS c
+        |FROM emb_sig""".stripMargin).collect().map(_.toString).sorted
+    val b = emb.select(col("vec_id"),
+        graft.operators.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val plan = corpora
       .select(SignatureExprs.simhash64(col("text")).as("s"),

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 object SparkTestBase {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
+    .withExtensions(new graft.functions.GraftExtensions)
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.adaptive.enabled", "true")
