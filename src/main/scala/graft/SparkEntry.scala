@@ -478,9 +478,14 @@ object SparkEntry {
     "kg_link_surface" -> ((s, dir) => {
       val cfg = cfgOf(dir)
       // linkBySurface consumes mentions twice (distinct surfaces + final
-      // join-back); cache the extraction output as a stage table would —
-      // Bench/QueryTime unpersist between queries
+      // join-back); cache the extraction output as a stage table would.
+      // EAGER fill (count) — a lazy cache races itself when both consumers
+      // land in one job and extraction runs twice anyway. Mention rows are
+      // compact (no text column), so the columnar cache write is cheap —
+      // unlike the wide flagship rows where recompute-with-overlap wins
+      // (Pipeline.triples scaladoc). Bench/QueryTime unpersist after.
       val m = Pipeline.mentions(s, cfg, Pipeline.turns(s, cfg).toDF()).cache()
+      m.count()
       Linking.linkBySurface(m, Pipeline.gazetteer(s, cfg)._1)
         .filter(col("selected"))
         .groupBy(col("sab"), col("code")).agg(count(lit(1)).as("n"))
@@ -501,7 +506,9 @@ object SparkEntry {
     // selection shifts only where the facet keyword hits a candidate alias
     "kg_link_faceted" -> ((s, dir) => {
       val cfg = cfgOf(dir)
-      val m = Pipeline.mentions(s, cfg, Pipeline.turns(s, cfg).toDF()).cache()
+      val m0 = Pipeline.mentions(s, cfg, Pipeline.turns(s, cfg).toDF()).cache()
+      m0.count() // eager: see kg_link_surface
+      val m = m0
         .withColumn("facets",
           when(pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(2)) === 0,
             map(lit("severity"), array(lit("acute"))))

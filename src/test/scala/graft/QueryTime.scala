@@ -18,8 +18,20 @@ object QueryTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for { s <- si.submissionTime; c <- si.completionTime }
+          yield (c - s) / 1e3).getOrElse(-1.0)
+        stages.add(f"  stage ${si.stageId}%3d tasks=${si.numTasks}%4d wall=$wall%7.2f " +
+          f"run=${si.taskMetrics.executorRunTime / 1e3}%8.2f")
+      }
+    })
     names.foreach { n =>
-      val best = (1 to reps).map { _ =>
+      val best = (1 to reps).map { r =>
+        if (r == reps) stages.clear() // keep only the last rep's stages
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
         val s = (System.nanoTime() - t0) / 1e9
@@ -27,6 +39,10 @@ object QueryTime {
         s
       }.min
       println(f"QTIME $n%-24s $best%.3f s")
+      if (sys.env.contains("QTIME_STAGES")) {
+        Thread.sleep(300); stages.forEach(s => println(s))
+      }
+      stages.clear()
     }
     spark.stop()
   }
