@@ -32,6 +32,21 @@ object Ingest {
       .otherwise(lit(null).cast("string"))
   }
 
+  /** F11 pointer-key grammar (reference Redis keys
+    * `latest_sqe:{file_id}-{sqe}-{type}`, `src/app.py:285,1049`): parse a
+    * key string into its typed (file_id, sqe, type) struct — the inverse of
+    * the reference's f-string, for ingesting legacy key-value dumps into
+    * struct-keyed tables. Malformed keys parse to null (callers quarantine
+    * via [[reasonCol]]-style handling). One regexp per row, codegen'd. */
+  def parseLatestKey(key: Column): Column = {
+    val re = "^latest_sqe:(.+)-(\\d+)-(ER|HR|LR|Full)$"
+    when(key.rlike(re), struct(
+      regexp_extract(key, re, 1).as("file_id"),
+      regexp_extract(key, re, 2).cast("int").as("sqe"),
+      regexp_extract(key, re, 3).as("type")))
+      .otherwise(lit(null).cast("struct<file_id:string,sqe:int,type:string>"))
+  }
+
   /** P5 dedicated column remap (reference type-code mapping
     * `src/app.py:1171-1181`): value -> mapped value via one when-chain,
     * unmapped values -> `default` (None keeps the original value). Stays a

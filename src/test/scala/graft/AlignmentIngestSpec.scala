@@ -53,6 +53,20 @@ class AlignmentIngestSpec extends GraftSuite {
     assert(valid.count() + quarantine.count() == rows.count()) // conservation
   }
 
+  test("parseLatestKey: round-trips the reference key grammar; malformed -> null") {
+    val keys = Seq(
+      "latest_sqe:fileA-12-ER", "latest_sqe:f-b-7-0-HR", // file_id may contain '-'
+      "latest_sqe:x-3-Full", "latest_sqe:x-3-XX", "not a key", "latest_sqe:x--ER")
+      .toDF("k")
+    val got = keys.select(Ingest.parseLatestKey(col("k")).as("p"))
+      .select("p.file_id", "p.sqe", "p.type")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1), r.getString(2)))
+    assert(got(0) == (("fileA", 12, "ER")))
+    assert(got(1) == (("f-b-7", 0, "HR"))) // greedy file_id, last two fields win
+    assert(got(2) == (("x", 3, "Full")))
+    assert(got.drop(3).forall(_ == ((null, -1, null))))
+  }
+
   test("remapColumn: mapped, unmapped-with-default, unmapped-passthrough, null") {
     val d = Seq(("ER"), ("HR"), ("LR"), ("XX"), (null: String)).toDF("type")
     val m = Map("ER" -> "Entity", "HR" -> "High", "LR" -> "Low")
