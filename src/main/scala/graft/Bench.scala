@@ -164,7 +164,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val multA = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT_A", "8").toInt
+    // Corpus multiples sized so the LOW-core run takes >60s: scaling
+    // efficiency measures the parallel region, and as the engine gets
+    // faster round-over-round the corpus must grow to keep fixed per-job
+    // latency (~2-4s of scheduling/broadcast/codegen) from masquerading as
+    // lost efficiency at the high-core side.
+    val multA = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT_A", "16").toInt
     // The 8→32 pair needs a 4× larger corpus than 2→8: both host controls
     // (ALU, memory bandwidth) scale near-linearly to 32 threads, so the
     // residual 8→32 gap at small corpora is FIXED per-job latency
