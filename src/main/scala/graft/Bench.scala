@@ -49,15 +49,19 @@ object Bench {
       staged: Boolean = false): (Long, Double) = {
     val base = SparkEntry.cfgOf(sfDir)
     val cfg = base.copy(nConvs = base.nConvs * mult)
-    val stage = java.nio.file.Files.createTempDirectory("graft_bench_stage")
+    val stage = if (staged)
+      Some(java.nio.file.Files.createTempDirectory("graft_bench_stage"))
+    else None
     val t0 = System.nanoTime()
-    val n =
-      if (staged) Pipeline.triplesStaged(spark, cfg, stage.toString).count()
-      else Pipeline.triples(spark, cfg).count()
+    val n = stage match {
+      case Some(dir) => Pipeline.triplesStaged(spark, cfg, dir.toString).count()
+      case None      => Pipeline.triples(spark, cfg).count()
+    }
     val sec = (System.nanoTime() - t0) / 1e9
     // drop this run's persisted intermediates so repeats don't accumulate
+    spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    stage.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(d.toFile))
     (n, sec)
   }
 
@@ -216,7 +220,12 @@ object Bench {
         try { fn(s32, sfDir).count() } catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         // queries may cache their stage-table analogue; don't let 50
-        // queries accumulate cached blocks
+        // queries accumulate cached blocks. clearCache() removes the
+        // CacheManager ENTRIES (RDD-level unpersist alone leaves a dead
+        // registration that turns the next query's .cache() of the same
+        // plan into a silent no-op); the RDD sweep then catches
+        // localCheckpoint blocks, which live outside the catalog.
+        s32.catalog.clearCache()
         s32.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         name -> sec
       }

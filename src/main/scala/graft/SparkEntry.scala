@@ -38,11 +38,15 @@ object SparkEntry {
     * production path end to end: stage tables (extraction runs once) and
     * the resumable bucketed GraphSink, returning the sink READ-BACK. */
   def entry(spark: SparkSession): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_entry").toString
-    val stage = java.nio.file.Files.createTempDirectory("graft_stage").toString
-    val triples = Pipeline.triplesStaged(spark, cfgOf("sf0.001"), stage)
-    GraphSink.writeResumable(triples.toDF(), dir, runId = "entry")
-    GraphSink.readTriples(spark, dir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_entry")
+    val stage = java.nio.file.Files.createTempDirectory("graft_stage")
+    val triples = Pipeline.triplesStaged(spark, cfgOf("sf0.001"), stage.toString)
+    // writeResumable consumes the staged tables; the sink dir must outlive
+    // the returned (lazy) read-back — both clean up at JVM exit
+    GraphSink.writeResumable(triples.toDF(), dir.toString, runId = "entry")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(stage.toFile)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
+    GraphSink.readTriples(spark, dir.toString)
   }
 
   // ---------------------------------------------------------------- queries
@@ -469,8 +473,10 @@ object SparkEntry {
     // extraction output is staged to parquet once and both agg branches
     // read it back (benched alongside kg_triples to show the delta)
     "kg_triples_staged" -> ((s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_stage").toString
-      Pipeline.triplesStaged(s, cfgOf(dir), stage).toDF()
+      val stage = java.nio.file.Files.createTempDirectory("graft_stage")
+      // the returned DF lazily reads the stage tables — defer cleanup to exit
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(stage.toFile)
+      Pipeline.triplesStaged(s, cfgOf(dir), stage.toString).toDF()
         .orderBy("pred", "subj", "obj")
     }),
     // L1-L3 lexical candidate linking (the ES multi_match analogue):

@@ -27,6 +27,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries may cache their stage-table analogue; sweep between queries
+      // (clearCache removes CacheManager entries — an RDD-level unpersist
+      // alone leaves a dead registration that no-ops the next .cache() of
+      // the same plan; the RDD sweep catches localCheckpoint blocks)
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

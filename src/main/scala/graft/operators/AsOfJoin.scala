@@ -26,6 +26,9 @@ import org.apache.spark.sql.functions._
   * multiple right rows on the same (key, ts) resolve to the one latest in
   * the (ts, tie-break columns) sort — callers wanting a pinned choice
   * dedupe the right side first (same caveat as DuckDB/QuestDB ASOF).
+  * Null-timestamp contract: filter null-ts RIGHT rows before calling — they
+  * would sort first (nulls-first) and carry forward as a match for every
+  * left row, where SQL ASOF's `>=` comparison drops them.
   */
 object AsOfJoin {
 

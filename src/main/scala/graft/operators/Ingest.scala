@@ -39,7 +39,9 @@ object Ingest {
     * struct-keyed tables. Malformed keys parse to null (callers quarantine
     * via [[reasonCol]]-style handling). One regexp per row, codegen'd. */
   def parseLatestKey(key: Column): Column = {
-    val re = "^latest_sqe:(.+)-(\\d+)-(ER|HR|LR|Full)$"
+    // sqe bounded to 9 digits: always fits Int, so the cast can never throw
+    // under ANSI mode — a longer digit run simply fails the grammar -> null
+    val re = "^latest_sqe:(.+)-(\\d{1,9})-(ER|HR|LR|Full)$"
     when(key.rlike(re), struct(
       regexp_extract(key, re, 1).as("file_id"),
       regexp_extract(key, re, 2).cast("int").as("sqe"),

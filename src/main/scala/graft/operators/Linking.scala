@@ -143,9 +143,14 @@ object Linking {
       .withColumn("qkey", xxhash64(col("surface"), col("fentries")))
     val combos = norm.groupBy(col("qkey"))
       .agg(first(col("surface")).as("surface"), first(col("fentries")).as("fentries"))
-    // clauses of a combo: the surface + every facet keyword
+    // clauses of a combo: the surface + every facet keyword. Each entry's
+    // keyword array is null-coalesced FIRST — flatten() nulls out on any
+    // null nested array, which would explode to zero clause rows and drop
+    // the mention entirely instead of degrading to surface-only scoring
     val clauses = combos.select(col("qkey"),
-      explode(concat(array(col("surface")), flatten(col("fentries.value")))).as("q"))
+      explode(concat(array(col("surface")),
+        flatten(transform(col("fentries"),
+          e => coalesce(e.getField("value"), array()))))).as("q"))
     val perClause = clauseScores(clauses.select("q").distinct(), gaz)
     val scored = clauses.join(broadcast(perClause), "q")
       .groupBy(col("qkey"), col("cui"), col("sab"), col("code"), col("str"))

@@ -56,7 +56,9 @@ class AlignmentIngestSpec extends GraftSuite {
   test("parseLatestKey: round-trips the reference key grammar; malformed -> null") {
     val keys = Seq(
       "latest_sqe:fileA-12-ER", "latest_sqe:f-b-7-0-HR", // file_id may contain '-'
-      "latest_sqe:x-3-Full", "latest_sqe:x-3-XX", "not a key", "latest_sqe:x--ER")
+      "latest_sqe:x-3-Full", "latest_sqe:x-3-XX", "not a key", "latest_sqe:x--ER",
+      "latest_sqe:x-4294967296-ER") // Int-overflow digits must fail the GRAMMAR,
+                                    // not throw from the ANSI cast
       .toDF("k")
     val got = keys.select(Ingest.parseLatestKey(col("k")).as("p"))
       .select("p.file_id", "p.sqe", "p.type")
@@ -123,5 +125,10 @@ class AlignmentIngestSpec extends GraftSuite {
     val b = Linking.linkBySurface(mentions(Map.empty).drop("facets"), gaz)
       .select("code", "score", "rn").collect().map(_.toString).sorted.toSeq
     assert(a == b)
+    // a NULL keyword array inside the map degrades to surface-only scoring
+    // (not a dropped mention: flatten would null out on the nested null)
+    val nullKw = Linking.linkFaceted(mentions(Map("severity" -> null)), gaz)
+      .select("code", "score", "rn").collect().map(_.toString).sorted.toSeq
+    assert(nullKw == b)
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time the flagship pipeline at a core count and corpus multiple.
-  * `sbt "Test/runMain graft.KgTime <cores> <mult> <reps> [sfDir]"` */
+  * `sbt "Test/runMain graft.KgTime <cores> <mult> <reps> [parts] [sfDir]"` */
 object KgTime {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt

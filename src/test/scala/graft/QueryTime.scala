@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: time selected queries at a chosen core count (best of `reps`).
+/** Dev tool: time selected queries at a chosen core count (best of `reps`);
+  * QTIME_STAGES=1 prints the last rep's per-stage wall/run profile.
   * `sbt "Test/runMain graft.QueryTime <sfDir> <cores> <reps> name ..."` */
 object QueryTime {
   def main(args: Array[String]): Unit = {
@@ -35,6 +36,7 @@ object QueryTime {
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
         val s = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         s
       }.min
