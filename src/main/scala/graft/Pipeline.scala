@@ -73,6 +73,11 @@ object Pipeline {
     * asserts branches share one agg instead of re-shuffling the parquet
     * read twice. Extraction (the dominant stage) runs exactly once. */
   def triplesStaged(spark: SparkSession, cfg: Config, stageDir: String): Dataset[Triple] = {
+    // v2 commit: tasks promote their own output files — the commit cost of
+    // the stage-table writes scales with cores instead of serializing on a
+    // driver-side rename loop (the r2 staged-shape Amdahl cap)
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
     val t = turns(spark, cfg).toDF()
     val l = linked(spark, cfg, mentions(spark, cfg, t))
     l.write.mode("overwrite").parquet(s"$stageDir/linked")

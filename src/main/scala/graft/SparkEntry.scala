@@ -289,12 +289,14 @@ object SparkEntry {
     // As-of join (the latest-pointer resolution generalized; DuckDB checks
     // it with its NATIVE ASOF JOIN): each click joins the user's most
     // recent at-or-before signup — |L|+|R| through one shuffle, never a
-    // range-exploded self-join
+    // range-exploded self-join. The right side is deduped to one signup per
+    // (user_id, ts) in BOTH engines: DuckDB's choice among equal-ts rows is
+    // unspecified, so the compared semantics are tie-free by construction
     "q30_asof" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val clicks = e.filter(col("event_type") === "click")
       val signups = e.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ts"), col("event_id"))
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("event_id"))
       AsOfJoin.asOf(clicks, signups, Seq("user_id"), "ts")
         .filter(col("asof").isNotNull)
         .select(col("event_id"), col("asof.event_id").as("signup_event_id"))
@@ -451,6 +453,118 @@ object SparkEntry {
           round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
     }),
 
+    // A1-at-scale: HLL approximate distinct (the 10^12-row option SURVEY
+    // §2.4 names) gated against the exact count — `approx_ok` flips false
+    // (and the oracle compare red) if the sketch drifts past 5%
+    "q33_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          (abs(approx_count_distinct(col("user_id"), 0.02) -
+              countDistinct(col("user_id"))) <=
+            countDistinct(col("user_id")).cast("double") * lit(0.05))
+            .as("approx_ok"))),
+
+    // LSH recall vs exact (Dedup.minhashLshTrueJaccardPairs scaladoc): the
+    // Spark plan is band-bucketed (never all-pairs); the DuckDB oracle is
+    // the O(n²) exact answer — equality certifies recall=1 end to end
+    "dd_minhash_recall" -> ((s, dir) =>
+      Dedup.minhashLshTrueJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        m = 32, bands = 16, trueThreshold = 0.5, k = 3)
+        .orderBy("id_a", "id_b")),
+
+    // persisted IVF index: build once (assignments written partitionBy
+    // ivf_cid + tiny codebook), serve queries from partition-pruned reads.
+    // The DRIVER-checked invariant is losslessness (full probing == exact
+    // top-k — the synthetic embeddings are near-random, so partial-probe
+    // recall is corpus luck, not a property worth gating on); the PRUNED
+    // path's plan (PartitionFilters + 2-of-16 partitions read) and its
+    // subset-correctness are asserted in Round3Spec
+    "sim_ivf_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf")
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(idx.toFile)
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx.toString)
+      Similarity.ivfTopKIndexed(s, idx.toString, "vec_id", "embedding", q, 5,
+        nProbe = 16)
+    }),
+
+    // ---- KG pipeline over the SQL-visible documents table: the reference
+    // §3.1 path (segment → 3-round ensemble NER → link/crosswalk → support
+    // agg → triples) end to end with plain-SQL DuckDB oracles — see
+    // graft.sources.DocCorpus for why each stage is SQL-predictable ----
+
+    // M1/M2: per-(doc, round, concept) ensemble mention counts
+    "kgd_mentions" -> ((s, dir) =>
+      sources.DocCorpus.mentions(t(s, dir, "documents"))
+        .groupBy(col("turn_idx").cast("long").as("doc_id"),
+          col("try_index"), col("code"))
+        .agg(count(lit(1)).as("n"))),
+
+    // A1+A2 over the linked stream: per-doc concept support, unique-round
+    // count, confidence=unique/3, preferred name + ICD10CM crosswalk (J1/J2)
+    "kgd_support" -> ((s, dir) =>
+      Aggregation.perTurn(sources.DocCorpus.linked(t(s, dir, "documents")))
+        .select(col("turn_idx").cast("long").as("doc_id"), col("source"),
+          col("code"), col("cui"), col("concept_name"), col("text"),
+          col("total_count"), col("unique_count"),
+          round(col("confidence"), 6).as("confidence"),
+          col("icd10_code"), col("icd10_name"))),
+
+    // A3: cross-turn merge to conversation (= lang) level
+    "kgd_agg" -> ((s, dir) =>
+      Aggregation.perConv(
+          Aggregation.perTurn(sources.DocCorpus.linked(t(s, dir, "documents"))))
+        .select(col("conv_id"), col("source"), col("code"), col("cui"),
+          col("concept_name"), col("text"), col("total_count"),
+          col("unique_count"), round(col("confidence"), 6).as("confidence"),
+          col("icd10_code"), col("icd10_name"))),
+
+    // T1: all four predicate families (mentions / asserts / uses_tool /
+    // replies_to) materialized from the documents corpus
+    "kgd_triples" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Triples.all(
+          Aggregation.perTurn(sources.DocCorpus.linked(docs)),
+          sources.DocCorpus.turns(docs)).toDF()
+        .select(col("subj"), col("pred"), col("obj"),
+          round(col("confidence"), 6).as("confidence"),
+          col("unique_count"), col("total_count"),
+          col("icd10_code"), col("icd10_name"))
+    }),
+
+    // W1: gap-free tiling invariants per artifact (row/entity counts +
+    // Σ orig_len == length(text), newline escapes exercised)
+    "kgd_tiles" -> ((s, dir) => {
+      val (m, turnsDf) = sources.DocCorpus.spanInputs(t(s, dir, "documents"))
+      SpanTable.tile(m, turnsDf)
+        .groupBy(col("conv_id").cast("long").as("doc_id"), col("try_index"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(SpanTable.origLen(col("chunk"))).as("sum_len"),
+          sum(when(col("is_entity"), 1L).otherwise(0L)).as("n_entities"))
+    }),
+
+    // W2: global char offsets spliced across the three per-round artifacts
+    // (base = Σ prior (file_len + 8), <NEW_LINE> length correction live)
+    "kgd_readback" -> ((s, dir) => {
+      val (m, turnsDf) = sources.DocCorpus.spanInputs(t(s, dir, "documents"))
+      SpanTable.readBack(SpanTable.tile(m, turnsDf))
+        .select(col("conv_id").cast("long").as("doc_id"), col("try_index"),
+          col("start_ind"), col("end_ind"), col("value"))
+    }),
+
+    // C1/C2: distributed connected components over a star+bridge graph
+    // whose fixpoint is SQL-predictable (comp = doc_id - doc_id % 16)
+    "kgd_components" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id").cast("long").as("id"))
+      val star = ids.select(col("id").as("src"), (col("id") - col("id") % 8).as("dst"))
+      val bridge = ids.filter(col("id") % 16 === 8)
+        .select(col("id").as("src"), (col("id") - 8).as("dst"))
+      ids.join(ConnectedComponents.run(star.unionByName(bridge)), Seq("id"))
+        .select(col("id").as("doc_id"), col("comp"))
+    }),
+
     // ---- KG pipeline (rows-only; ScalaTest oracle is the gate) ----
 
     "kg_mentions" -> ((s, dir) => {
@@ -550,7 +664,151 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracleSql
 
+  // --- kgd oracle building blocks (see graft.sources.DocCorpus): over the
+  // single-space closed-vocabulary corpus, token-occurrence counts equal
+  // substring counts, so the whole NER/linking/agg algebra is arithmetic ---
+  private def occ(s: String): String =
+    s"(length(text) - length(replace(text, '$s', ''))) // ${s.length}"
+
+  // per-doc ensemble mention counts; n(data) subtracts the longest-match-
+  // suppressed occurrences inside 'data column'
+  private val kgdCounts: String =
+    s"""c AS (SELECT doc_id, lang,
+       |  CAST(${occ("data column")} AS BIGINT) AS n_dc,
+       |  CAST(${occ("data")} - ${occ("data column")} AS BIGINT) AS n_data,
+       |  CAST(${occ("merge")} AS BIGINT) AS n_merge,
+       |  CAST(${occ("stream")} AS BIGINT) AS n_stream,
+       |  CAST(${occ("window")} AS BIGINT) AS n_window
+       |FROM documents)""".stripMargin
+
+  // per-doc per-concept support: preferred concepts found by all 3 ensemble
+  // rounds; 'stream' (ISPREF='N') missed by the preferred-only round -> 2
+  private val kgdSup: String =
+    """sup AS (
+      |  SELECT doc_id, lang, 'D100' AS code, 'CD000001' AS cui, 'data' AS cname,
+      |    'data' AS stext, 3*n_data AS total_count, 3 AS unique_count,
+      |    'A10.1' AS icd10_code, 'icd alpha' AS icd10_name FROM c WHERE n_data > 0
+      |  UNION ALL SELECT doc_id, lang, 'DC100', 'CD000005', 'data column',
+      |    'data column', 3*n_dc, 3, NULL, NULL FROM c WHERE n_dc > 0
+      |  UNION ALL SELECT doc_id, lang, 'M100', 'CD000002', 'merge', 'merge',
+      |    3*n_merge, 3, NULL, NULL FROM c WHERE n_merge > 0
+      |  UNION ALL SELECT doc_id, lang, 'W100', 'CD000003', 'window', 'window',
+      |    3*n_window, 3, NULL, NULL FROM c WHERE n_window > 0
+      |  UNION ALL SELECT doc_id, lang, 'S100', 'CD000004', 'stream processing',
+      |    'stream', 2*n_stream, 2, 'B20.2', 'icd beta' FROM c WHERE n_stream > 0)""".stripMargin
+
+  // span-table inputs: first substring occurrence (= instr) of one surface
+  // per round over the newline-injected text (q22 convention)
+  private val kgdSpans: String =
+    """sp AS (
+      |  SELECT doc_id, t.try_index, length(inj) AS L,
+      |    instr(inj, CASE t.try_index WHEN 0 THEN 'data' WHEN 1 THEN 'window'
+      |      ELSE 'query' END) AS p,
+      |    CASE t.try_index WHEN 0 THEN 4 WHEN 1 THEN 6 ELSE 5 END AS slen,
+      |    CASE t.try_index WHEN 0 THEN 'data' WHEN 1 THEN 'window'
+      |      ELSE 'query' END AS sname
+      |  FROM (SELECT doc_id, replace(text, ' merge ', chr(10)) AS inj
+      |        FROM documents),
+      |       (VALUES (0),(1),(2)) t(try_index))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q33_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |true AS approx_ok FROM events GROUP BY 1""".stripMargin,
+    "dd_minhash_recall" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |    for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |pj AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pj WHERE j >= 0.5""".stripMargin,
+    "kgd_mentions" ->
+      s"""WITH $kgdCounts
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, t.try_index, 'D100' AS code,
+         |  n_data AS n FROM c, (VALUES (0),(1),(2)) t(try_index) WHERE n_data > 0
+         |UNION ALL SELECT CAST(doc_id AS BIGINT), t.try_index, 'DC100', n_dc
+         |  FROM c, (VALUES (0),(1),(2)) t(try_index) WHERE n_dc > 0
+         |UNION ALL SELECT CAST(doc_id AS BIGINT), t.try_index, 'M100', n_merge
+         |  FROM c, (VALUES (0),(1),(2)) t(try_index) WHERE n_merge > 0
+         |UNION ALL SELECT CAST(doc_id AS BIGINT), t.try_index, 'W100', n_window
+         |  FROM c, (VALUES (0),(1),(2)) t(try_index) WHERE n_window > 0
+         |UNION ALL SELECT CAST(doc_id AS BIGINT), t.try_index, 'S100', n_stream
+         |  FROM c, (VALUES (0),(2)) t(try_index) WHERE n_stream > 0""".stripMargin,
+    "kgd_support" ->
+      s"""WITH $kgdCounts, $kgdSup
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, 'SNOMEDCT_US' AS source, code,
+         |  cui, cname AS concept_name, stext AS text,
+         |  CAST(total_count AS BIGINT) AS total_count,
+         |  CAST(unique_count AS BIGINT) AS unique_count,
+         |  round(unique_count / 3.0, 6) AS confidence, icd10_code, icd10_name
+         |FROM sup""".stripMargin,
+    "kgd_agg" ->
+      s"""WITH $kgdCounts, $kgdSup
+         |SELECT lang AS conv_id, 'SNOMEDCT_US' AS source, code, cui,
+         |  cname AS concept_name, stext AS text,
+         |  CAST(sum(total_count) AS BIGINT) AS total_count,
+         |  CAST(max(unique_count) AS BIGINT) AS unique_count,
+         |  round(max(unique_count) / 3.0, 6) AS confidence,
+         |  min(icd10_code) AS icd10_code, min(icd10_name) AS icd10_name
+         |FROM sup GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    "kgd_triples" ->
+      s"""WITH $kgdCounts, $kgdSup,
+         |mt AS (
+         |  SELECT lang || '#' || doc_id AS subj, 'mentions' AS pred,
+         |    'SNOMEDCT_US:' || code AS obj,
+         |    round(unique_count / 3.0, 6) AS confidence,
+         |    CAST(unique_count AS INTEGER) AS unique_count,
+         |    CAST(total_count AS INTEGER) AS total_count, icd10_code, icd10_name
+         |  FROM sup),
+         |at AS (
+         |  SELECT lang AS subj, 'asserts' AS pred, 'SNOMEDCT_US:' || code AS obj,
+         |    round(max(unique_count) / 3.0, 6) AS confidence,
+         |    CAST(max(unique_count) AS INTEGER) AS unique_count,
+         |    CAST(sum(total_count) AS INTEGER) AS total_count,
+         |    min(icd10_code) AS icd10_code, min(icd10_name) AS icd10_name
+         |  FROM sup WHERE doc_id % 2 = 0 GROUP BY lang, code),
+         |ut AS (
+         |  SELECT lang || '#' || doc_id AS subj, 'uses_tool' AS pred,
+         |    'search' AS obj, CAST(1.0 AS DOUBLE) AS confidence,
+         |    CAST(1 AS INTEGER) AS unique_count, CAST(1 AS INTEGER) AS total_count,
+         |    CAST(NULL AS VARCHAR) AS icd10_code, CAST(NULL AS VARCHAR) AS icd10_name
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |rt AS (
+         |  SELECT lang || '#' || doc_id AS subj, 'replies_to' AS pred,
+         |    lang || '#' || prev AS obj, CAST(1.0 AS DOUBLE) AS confidence,
+         |    CAST(1 AS INTEGER) AS unique_count, CAST(1 AS INTEGER) AS total_count,
+         |    CAST(NULL AS VARCHAR) AS icd10_code, CAST(NULL AS VARCHAR) AS icd10_name
+         |  FROM (SELECT lang, doc_id,
+         |          lag(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS prev
+         |        FROM documents)
+         |  WHERE prev IS NOT NULL)
+         |SELECT * FROM mt UNION ALL SELECT * FROM at
+         |UNION ALL SELECT * FROM ut UNION ALL SELECT * FROM rt""".stripMargin,
+    "kgd_tiles" ->
+      s"""WITH $kgdSpans
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, try_index,
+         |  CAST(CASE WHEN p = 0 THEN 1
+         |    ELSE (CASE WHEN p > 1 THEN 1 ELSE 0 END) + 1 +
+         |         (CASE WHEN p - 1 + slen < L THEN 1 ELSE 0 END)
+         |    END AS BIGINT) AS n_rows,
+         |  CAST(L AS BIGINT) AS sum_len,
+         |  CAST(CASE WHEN p > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_entities
+         |FROM sp""".stripMargin,
+    "kgd_readback" ->
+      s"""WITH $kgdSpans
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, try_index,
+         |  CAST(try_index * (L + 8) + p - 1 AS BIGINT) AS start_ind,
+         |  CAST(try_index * (L + 8) + p - 1 + slen AS BIGINT) AS end_ind,
+         |  sname AS value
+         |FROM sp WHERE p > 0""".stripMargin,
+    "kgd_components" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |CAST(doc_id - doc_id % 16 AS BIGINT) AS comp FROM documents""".stripMargin,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         |count(*) AS cnt, count(DISTINCT l_orderkey) AS n_orders
@@ -716,8 +974,8 @@ object SparkEntry {
     "q30_asof" ->
       """SELECT a.event_id, b.event_id AS signup_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') a
-        |ASOF JOIN (SELECT user_id, ts, event_id FROM events
-        |           WHERE event_type = 'signup') b
+        |ASOF JOIN (SELECT user_id, ts, max(event_id) AS event_id FROM events
+        |           WHERE event_type = 'signup' GROUP BY 1, 2) b
         |  ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin,
     "q26_fuzzy" ->
       """SELECT levenshtein(p_name, 'forest green') AS d, count(*) AS n
@@ -789,6 +1047,14 @@ object SparkEntry {
         |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
         |FROM embeddings e ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
     "sim_topk" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings e ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
+    // the indexed ANN path is held to the EXACT answer at full probing —
+    // the index must be lossless (assignment + partitioned write + read-back
+    // + rerank lose nothing); pruning is gated in Round3Spec
+    "sim_ivf_indexed" ->
       """SELECT e.vec_id,
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos

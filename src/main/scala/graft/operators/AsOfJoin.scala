@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   * multiple right rows on the same (key, ts) resolve to the one latest in
   * the (ts, tie-break columns) sort — callers wanting a pinned choice
   * dedupe the right side first (same caveat as DuckDB/QuestDB ASOF).
-  * Null-timestamp contract: filter null-ts RIGHT rows before calling — they
-  * would sort first (nulls-first) and carry forward as a match for every
-  * left row, where SQL ASOF's `>=` comparison drops them.
+  * Null-timestamp right rows are dropped inside the operator (they carry
+  * no "as of" instant; SQL ASOF's `>=` comparison never matches them —
+  * without the filter they'd sort nulls-first and carry forward as a
+  * spurious match for every left row).
   */
 object AsOfJoin {
 
@@ -42,6 +43,7 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
 
     val taggedRight = right
+      .filter(col(tsCol).isNotNull) // enforce the null-ts contract (scaladoc)
       .select(keyCols.map(col) :+ col(tsCol).as("_ts") :+ lit(0).as("_side")
         :+ payload.as("_r"): _*)
     val rType = taggedRight.schema("_r").dataType

@@ -63,7 +63,12 @@ object Dedup {
     * to one representative), so at sane corpora the cap never fires; when it
     * does, the skipped buckets are near-identical boilerplate whose pairs
     * exact/doc-level dedup already covers. Same prefix-filter idea as
-    * [[ngramJaccardPairs]]' maxDf. */
+    * [[ngramJaccardPairs]]' maxDf.
+    *
+    * The drop is NOT silent by contract: audit it with
+    * [[minhashDroppedBuckets]] / [[simhashDroppedBuckets]], which return the
+    * over-cap buckets (and how many docs each held) for the same inputs —
+    * zero rows certifies that the cap dropped nothing. */
   private def capBuckets(exploded: DataFrame, keyCols: Seq[String],
       maxBucket: Int): DataFrame = {
     val keys = keyCols.map(col)
@@ -86,22 +91,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair can collide in several buckets
 
+  /** Over-cap bucket sizes (the audit surface of [[capBuckets]]). */
+  private def droppedBuckets(exploded: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame =
+    exploded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
+  /** The (band, bkey) LSH banding of a corpus's minhash signatures. */
+  private def bandedMinhash(df: DataFrame, idCol: String, textCol: String,
+      m: Int, bands: Int, k: Int): DataFrame = {
+    val r = m / bands
+    val sig = df.select(col(idCol).as("id"),
+      graft.functions.SignatureExprs.minhashSig(col(textCol), m, k).as("sig"))
+    sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)).cast("string"), b)))
+        .as(Seq("band", "bkey")))
+  }
+
+  /** Buckets [[minhashLshPairs]] would skip at this `maxBucket` (same
+    * params ⇒ same banding): (band, bkey, bucket_n). Zero rows ⇒ the cap
+    * dropped no candidate pairs. */
+  def minhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
+      m: Int = 32, bands: Int = 8, k: Int = 3, maxBucket: Int = 1000): DataFrame =
+    droppedBuckets(bandedMinhash(df, idCol, textCol, m, bands, k),
+      Seq("band", "bkey"), maxBucket)
+
   /** MinHash+LSH near-dup pairs: band the signature (b bands × r rows),
     * join on equal band hash, verify estimated Jaccard = matching minhash
     * fraction ≥ `threshold`. Returns (id_a, id_b, est_jaccard), id_a < id_b.
-    * `maxBucket` caps any single band bucket's size (see [[capBuckets]]). */
+    * `maxBucket` caps any single band bucket's size (see [[capBuckets]];
+    * audit the drop with [[minhashDroppedBuckets]]). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       m: Int = 32, bands: Int = 8, threshold: Double = 0.7, k: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val r = m / bands
     // native codegen'd signature kernel (graft.functions.SignatureExprs);
     // bit-identical to minhashSignature (parity-tested), ~10× faster
     val sig = df.select(col(idCol).as("id"),
       graft.functions.SignatureExprs.minhashSig(col(textCol), m, k).as("sig"))
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)).cast("string"), b)))
-        .as(Seq("band", "bkey")))
+    val banded = bandedMinhash(df, idCol, textCol, m, bands, k)
     bucketPairIds(capBuckets(banded, Seq("band", "bkey"), maxBucket),
         Seq("band", "bkey"))
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -111,6 +140,34 @@ object Dedup {
           eq => eq)) / lit(m.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** LSH candidates verified by TRUE n-gram Jaccard (not the minhash
+    * estimate): band-join candidate pairs, re-attach the full shingle sets,
+    * compute exact |∩|/|∪|, keep pairs ≥ `trueThreshold`.
+    *
+    * This is the driver-checkable RECALL surface: on a corpus whose
+    * near-dup pairs sit at high Jaccard, the result equals the exact
+    * all-pairs answer — P(all bands miss a pair | J) = (1 − J^r)^bands,
+    * ~3e-12 at J = 0.9 with 16 bands × 2 rows — so a plain-SQL exact-
+    * Jaccard oracle (O(n²) only on the oracle side) gates LSH recall end
+    * to end while the Spark plan stays bucket-joined, never all-pairs. */
+  def minhashLshTrueJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      m: Int = 32, bands: Int = 16, trueThreshold: Double = 0.5, k: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      graft.functions.SignatureExprs.shingleHashes(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val banded = bandedMinhash(df, idCol, textCol, m, bands, k)
+    bucketPairIds(capBuckets(banded, Seq("band", "bkey"), maxBucket),
+        Seq("band", "bkey"))
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= trueThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** SimHash-64 of the word multiset as a pure column expression: for each
@@ -136,19 +193,33 @@ object Dedup {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
-  /** SimHash near-dup pairs: block on 4×16-bit sub-keys (a pair within
-    * hamming distance ≤ 3 of 64 bits must agree exactly on ≥1 of 4 blocks),
-    * verify with bit_count(xor) ≤ maxHamming. `maxBucket` caps any single
-    * block bucket's size (see [[capBuckets]]). */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+  /** The 4×16-bit block keys of a corpus's simhash signatures. */
+  private def blockedSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
       graft.functions.SignatureExprs.simhash64(col(textCol)).as("sig"))
-    val blocked = sigs.select(col("id"),
+    sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sig"), (b * 16).cast("int"))
           .bitwiseAND(lit(0xffffL))))
         .as(Seq("block", "bkey")))
+  }
+
+  /** Buckets [[simhashPairs]] would skip at this `maxBucket`: (block, bkey,
+    * bucket_n). Zero rows ⇒ the cap dropped no candidate pairs. */
+  def simhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 1000): DataFrame =
+    droppedBuckets(blockedSimhash(df, idCol, textCol), Seq("block", "bkey"), maxBucket)
+
+  /** SimHash near-dup pairs: block on 4×16-bit sub-keys (a pair within
+    * hamming distance ≤ 3 of 64 bits must agree exactly on ≥1 of 4 blocks),
+    * verify with bit_count(xor) ≤ maxHamming. `maxBucket` caps any single
+    * block bucket's size (see [[capBuckets]]; audit the drop with
+    * [[simhashDroppedBuckets]]). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.SignatureExprs.simhash64(col(textCol)).as("sig"))
+    val blocked = blockedSimhash(df, idCol, textCol)
     bucketPairIds(capBuckets(blocked, Seq("block", "bkey"), maxBucket),
         Seq("block", "bkey"))
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))

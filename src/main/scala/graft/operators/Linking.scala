@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,22 +10,29 @@ import org.apache.spark.sql.functions._
   * production scale vs TBs of mentions, so every join here is an explicit
   * `broadcast()` hash join — no shuffle of the fact side (reference holds
   * the whole `umls_df` in memory per process, `dhp_fhir_tool1_v1.py:65`).
+  * The one exception is [[linkFaceted]]'s per-combo ranking, whose
+  * cardinality is caller-data-driven — it broadcasts only under a counted
+  * threshold and falls back to a shuffle join above it.
   */
 object Linking {
 
   /** P2 preferred-term ranking (reference `dhp_fhir_tool1_v1.py:228-243`):
-    * within (cui, sab) prefer ISPREF='Y'&&TTY='PT', then 'Y'&&'FN', then
-    * any 'Y', else anything; deterministic tie-break on (code, str). */
-  def ttyRankCol: org.apache.spark.sql.Column =
+    * prefer ISPREF='Y'&&TTY='PT', then 'Y'&&'FN', then any 'Y', else
+    * anything; deterministic tie-break on str. */
+  def ttyRankCol: Column =
     when(col("ispref") === "Y" && col("tty") === "PT", 0)
       .when(col("ispref") === "Y" && col("tty") === "FN", 1)
       .when(col("ispref") === "Y", 2)
       .otherwise(3)
 
-  /** (cui, sab) -> preferred concept_name + code. */
-  def preferredPerCuiSab(gaz: DataFrame): DataFrame = {
-    val w = Window.partitionBy("cui", "sab")
-      .orderBy(col("rank"), col("code"), col("str"))
+  /** (cui, sab, code) -> preferred concept_name. Ranked WITHIN each code
+    * (not per (cui, sab)): a real UMLS carries several codes under one
+    * (cui, sab), and a per-(cui,sab) winner would leave every non-preferred
+    * code's mentions without a preferred name — the reference re-looks the
+    * name up by SCUI alone (`dhp_fhir_tool1_v1.py:228-243`), i.e. per code. */
+  def preferredPerCode(gaz: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cui", "sab", "code")
+      .orderBy(col("rank"), col("str"))
     gaz.withColumn("rank", ttyRankCol)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -47,7 +54,7 @@ object Linking {
   /** J1 + J2: enrich mentions with the preferred concept name of their own
     * vocabulary and the ICD10CM crosswalk. Both joins broadcast. */
   def link(mentions: DataFrame, gaz: DataFrame): DataFrame = {
-    val pref = preferredPerCuiSab(gaz)
+    val pref = preferredPerCode(gaz)
       .withColumnRenamed("sab", "p_sab").withColumnRenamed("code", "p_code")
       .withColumnRenamed("cui", "p_cui")
     val xwalk = icd10Crosswalk(gaz).withColumnRenamed("cui", "x_cui")
@@ -98,16 +105,20 @@ object Linking {
 
   /** One ES-should-clause analogue: idf-overlap score of every candidate
     * alias against each distinct query string `q` (the shared scoring core
-    * of [[linkBySurface]] and [[linkFaceted]]). */
+    * of [[linkBySurface]] and [[linkFaceted]]). No driver actions: the
+    * alias total joins in as a broadcast single-row aggregate instead of a
+    * `gaz.count()` per invocation. */
   def clauseScores(queries: DataFrame, gaz: DataFrame): DataFrame = {
     val aliasTok = gaz
       .select(col("cui"), col("sab"), col("code"), col("str"),
         explode(expr("array_distinct(split(lower(str), '[^a-z0-9]+'))")).as("token"))
       .filter(length(col("token")) > 0)
-    val nAliases = gaz.count().toDouble
+    val nAliases = gaz.agg(count(lit(1)).cast("double").as("n_aliases"))
     val idf = aliasTok.groupBy("token")
       .agg(countDistinct(col("sab"), col("code"), col("str")).as("df"))
-      .withColumn("idf", log(lit(1.0) + lit(nAliases) / col("df")))
+      .crossJoin(broadcast(nAliases))
+      .withColumn("idf", log(lit(1.0) + col("n_aliases") / col("df")))
+      .drop("n_aliases")
     val scoredTokens = aliasTok.join(broadcast(idf), "token")
     val qTok = queries
       .select(col("q"),
@@ -128,15 +139,26 @@ object Linking {
     * scoring.
     *
     * Scale shape: scoring runs on DISTINCT (surface, facets) combos — maps
-    * aren't groupable in Spark, so combos key on the sorted entry array —
-    * and each distinct clause string is scored once; the 10^12-mention
-    * stream only ever broadcast-joins the finished per-combo rankings. */
-  def linkFaceted(mentions: DataFrame, gaz: DataFrame, topK: Int = 10): DataFrame = {
+    * aren't groupable in Spark, so combos key on the sorted entry array.
+    * Combo cardinality is CALLER-DATA-driven: dictionary-bounded when
+    * facets come from a curated taxonomy, but near-|mentions| when facets
+    * are free-form per-mention dicts (the reference's LLM-authored `search`
+    * maps, `app.py:419-664`). The finished rankings are therefore counted
+    * first and broadcast back onto the mention stream only below
+    * `maxBroadcastCombos`; above it the final join is a plain shuffle join
+    * (sort-merge / AQE's choice) — slower, but it cannot OOM the driver.
+    * The count costs one extra partial-agg pass over the mention keys; at
+    * 10^12 mentions that is the price of not gambling the driver on a
+    * cardinality assumption. The final join matches on
+    * (qkey, surface, fentries) — full combo identity, so a 64-bit qkey
+    * collision is structurally unable to merge two combos' rankings. */
+  def linkFaceted(mentions: DataFrame, gaz: DataFrame, topK: Int = 10,
+      maxBroadcastCombos: Long = 100000L): DataFrame = {
     // combo identity = one 64-bit hash of (surface, sorted facet entries):
-    // grouping/window/join keys stay fixed-width longs instead of
-    // array<struct> comparisons on every row. xxhash64 hashes the nested
-    // array<struct> directly — a to_json serialization here measured ~20s
-    // CPU per consumer at sf0.1
+    // grouping/window keys stay fixed-width longs instead of array<struct>
+    // comparisons on every row. xxhash64 hashes the nested array<struct>
+    // directly — a to_json serialization here measured ~20s CPU per
+    // consumer at sf0.1
     val norm = mentions.withColumn("fentries",
       sort_array(map_entries(coalesce(col("facets"),
         expr("map()").cast("map<string,array<string>>")))))
@@ -157,15 +179,22 @@ object Linking {
       .agg(round(sum(col("score")), 9).as("score"))
     val wTop = Window.partitionBy("qkey")
       .orderBy(col("score").desc, length(col("str")).asc, col("code").asc, col("sab").asc)
+    // re-attach the combo's surface+fentries (co-partitioned on qkey) so
+    // the mention-stream join can verify full combo identity, not the hash
     val perCombo = scored.withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= topK)
       .withColumn("selected", col("rn") === 1)
+      .join(combos, "qkey")
+
+    val nCombos = combos.count()
+    val ranked =
+      if (nCombos <= maxBroadcastCombos) broadcast(perCombo) else perCombo
     norm
       .withColumn("mention_key",
         xxhash64(col("conv_id"), col("turn_idx"), col("try_index"),
           col("start"), col("end")))
-      .select(col("mention_key"), col("surface"), col("qkey"))
-      .join(broadcast(perCombo), Seq("qkey"))
-      .drop("qkey")
+      .select(col("mention_key"), col("qkey"), col("surface"), col("fentries"))
+      .join(ranked, Seq("qkey", "surface", "fentries"))
+      .drop("qkey", "fentries")
   }
 }

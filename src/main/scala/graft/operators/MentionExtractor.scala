@@ -5,7 +5,6 @@ import graft.util.DetHash
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Dataset
 
-import scala.collection.concurrent.TrieMap
 import scala.collection.mutable
 
 /** Mention detection (SURVEY.md §2.9): the dictionary-NER core. Three
@@ -92,8 +91,25 @@ object MentionExtractor {
     * fingerprint), not broadcast id: re-broadcasting the same gazetteer
     * (every pipeline invocation makes a fresh broadcast) must hit the
     * cache — a bcId key rebuilt 3 automatons per run per executor and
-    * leaked one cache entry per broadcast. */
-  private val cache = TrieMap.empty[(Long, Int), Variant]
+    * leaked one cache entry per broadcast.
+    *
+    * LRU-bounded (VERDICT r2): a long-lived multi-tenant executor serving
+    * many gazetteers would otherwise grow one automaton set per distinct
+    * gazetteer for the JVM lifetime. Capacity = 3 gazetteers × 3 ensemble
+    * variants; one-gazetteer jobs (the normal shape) never evict.
+    * Synchronization is uncontended — lookups happen once per PARTITION in
+    * the mapPartitions prologue, never per row. */
+  private[graft] val CacheCapacity = 9
+  private val cache =
+    new java.util.LinkedHashMap[(Long, Int), Variant](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Long, Int), Variant]): Boolean =
+        size() > CacheCapacity
+    }
+
+  private[graft] def cacheSize: Int = cache.synchronized(cache.size())
+  private[graft] def cacheContains(fp: Long, v: Int): Boolean =
+    cache.synchronized(cache.containsKey((fp, v)))
 
   /** Every payload-relevant field gets its own multiply-accumulate step:
     * sab/code/ispref affect Payload content and variant-1 filtering, and a
@@ -116,8 +132,20 @@ object MentionExtractor {
     h
   }
 
-  def variantFor(fp: Long, gaz: => Array[GazRow], v: Int): Variant =
-    cache.getOrElseUpdate((fp, v), buildVariant(gaz, v))
+  def variantFor(fp: Long, gaz: => Array[GazRow], v: Int): Variant = {
+    val hit = cache.synchronized(cache.get((fp, v)))
+    if (hit != null) hit
+    else {
+      // build OUTSIDE the lock (builds are seconds-long for big gazetteers;
+      // concurrent first-callers may race-build the same variant — the
+      // duplicate is dropped, correctness unaffected)
+      val built = buildVariant(gaz, v)
+      cache.synchronized {
+        val again = cache.get((fp, v))
+        if (again != null) again else { cache.put((fp, v), built); built }
+      }
+    }
+  }
 
   /** Match one segment with one variant; offsets in TURN coordinates. */
   def matchSegment(seg: Segment, vIdx: Int, variant: Variant): Iterator[Mention] = {

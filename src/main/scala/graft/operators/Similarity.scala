@@ -83,37 +83,84 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministically sampled IVF codebook: (cid, centroid vector). The
+    * `.collect()` is legitimate — IVF codebooks are small by design. */
+  private def sampleCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): Array[(Long, Seq[Double])] =
+    emb.select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)) // seeded deterministic sample
+      .limit(nCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+
+  /** Nearest-centroid assignment as a pure codegen'd expression: one cosine
+    * per centroid, argmax via sort_array on (cos, cid) structs. */
+  private def assignCol(centroids: Array[(Long, Seq[Double])], vecCol: String): Column = {
+    val scored = array(centroids.map { case (cid, cvec) =>
+      struct(cosine(col(vecCol), array(cvec.map(lit): _*)).as("cos"), lit(cid).as("cid"))
+    }: _*)
+    element_at(reverse(array_sort(scored)), 1).getField("cid")
+  }
+
+  /** Driver-side twin of [[cosine]] for query→centroid routing. */
+  private def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.lazyZip(b).map(_ * _).sum
+    val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+    if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+  }
+
+  private def probeCids(centroids: Array[(Long, Seq[Double])],
+      query: Seq[Double], nProbe: Int): Seq[Long] =
+    centroids.map { case (cid, cv) => (cosLocal(query, cv), cid) }
+      .sortBy { case (c, cid) => (-c, cid) }.take(nProbe).map(_._2).toSeq
+
   /** IVF (inverted-file) ANN top-k — the classic two-level scale path:
-    * a small coarse quantizer (deterministically sampled centroids,
-    * collected once — IVF codebooks are small by design) assigns every
-    * vector to its nearest centroid (pure codegen'd expression: one cosine
-    * per centroid, argmax via sort_array on (cos, cid) structs); the query
-    * probes only its `nProbe` nearest lists. Partition-prunable when the
-    * table is written partitioned by `ivf_cid`. */
+    * a small coarse quantizer assigns every vector to its nearest centroid;
+    * the query probes only its `nProbe` nearest lists. In-flight form —
+    * signatures are computed per call; [[buildIvfIndex]] +
+    * [[ivfTopKIndexed]] is the persisted form whose probes are
+    * partition-PRUNED reads. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids: Array[(Long, Seq[Double])] =
-      emb.select(col(idCol).cast("long"), col(vecCol))
-        .orderBy(xxhash64(col(idCol)), col(idCol)) // seeded deterministic sample
-        .limit(nCentroids)
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
-    def centroidLit(c: Seq[Double]): Column = array(c.map(lit): _*)
-    val scored = array(centroids.map { case (cid, cvec) =>
-      struct(cosine(col(vecCol), centroidLit(cvec)).as("cos"), lit(cid).as("cid"))
-    }: _*)
-    val assigned = emb.withColumn("ivf_cid",
-      element_at(reverse(array_sort(scored)), 1).getField("cid"))
-    // query-side assignment: same cosine, computed on the driver
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      val dot = a.lazyZip(b).map(_ * _).sum
-      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
-      if (na > 0 && nb > 0) dot / (na * nb) else 0.0
-    }
-    val probes = centroids.map { case (cid, cv) => (cos(query, cv), cid) }
-      .sortBy { case (c, cid) => (-c, cid) }.take(nProbe).map(_._2).toSeq
+    val centroids = sampleCentroids(emb, idCol, vecCol, nCentroids)
+    val assigned = emb.withColumn("ivf_cid", assignCol(centroids, vecCol))
     val q = array(query.map(lit): _*)
-    assigned.filter(col("ivf_cid").isin(probes: _*))
+    assigned.filter(col("ivf_cid").isin(probeCids(centroids, query, nProbe): _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** One-time persisted IVF index (the analogue of the reference's bulk-
+    * loaded ES index, `es_docker/育暘_NER_ES.ipynb`): every vector assigned
+    * to its nearest centroid and written `partitionBy("ivf_cid")`, plus the
+    * tiny codebook table. [[ivfTopKIndexed]] then reads ONLY its probed
+    * lists — at 10^12 vectors a 4-of-1024-probe query scans ~0.4% of the
+    * table, enforced by parquet partition pruning, with zero per-query
+    * signature work. */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, nCentroids: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = sampleCentroids(emb, idCol, vecCol, nCentroids)
+    centroids.toSeq.toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    emb.withColumn("ivf_cid", assignCol(centroids, vecCol))
+      .write.mode("overwrite").partitionBy("ivf_cid").parquet(s"$path/vectors")
+  }
+
+  /** ANN top-k served from a [[buildIvfIndex]] table: route the query on
+    * the codebook (driver-side, |codebook| tiny), then one partition-pruned
+    * scan of the probed lists + exact rerank. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, query: Seq[Double], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val centroids: Array[(Long, Seq[Double])] =
+      spark.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val q = array(query.map(lit): _*)
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("ivf_cid").isin(probeCids(centroids, query, nProbe): _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)

@@ -89,7 +89,15 @@ object SpanTable {
     * exactly. One shuffle (the span groupBy); the turns join reuses the
     * same (conv_id, turn_idx) hash partitioning. Turns with zero spans in
     * a round still tile (one full-text gap row) — the try universe comes
-    * from the left (turns × rounds), not from the spans. */
+    * from the left (turns × rounds), not from the spans.
+    *
+    * PRECONDITION: spans within one (conv, turn, try) must be disjoint —
+    * the extractor's longest-match-wins output guarantees this, but VOTED /
+    * merged mentions fed back in may overlap, which silently breaks the
+    * gap-free invariant (a span starting before the fold's cursor emits a
+    * mis-lengthed row) and corrupts read-back offsets. Gate untrusted
+    * input with [[tilingViolations]] — zero rows certifies the invariant
+    * (Σ orig_len(chunk) == length(text) for every artifact). */
   def tile(mentions: DataFrame, turns: DataFrame, nTries: Int = 3): DataFrame = {
     val spans = mentions.groupBy(col("conv_id"), col("turn_idx"), col("try_index"))
       .agg(collect_list(struct(col("start"), col("end"), col("cui"),
@@ -110,6 +118,18 @@ object SpanTable {
         col("r.code").as("code"), col("r.term").as("term"),
         col("r.acc").as("acc"), col("r.is_entity").as("is_entity"))
   }
+
+  /** Debug/validation surface for [[tile]]'s non-overlap precondition:
+    * artifacts whose tiled chunks do NOT reconstruct the turn text length —
+    * (conv_id, turn_idx, try_index, tiled_len, text_len). Zero rows ⇔ the
+    * gap-free invariant holds. One extra aggregation over the tiles; run it
+    * on untrusted span sources, not in the hot path. */
+  def tilingViolations(tiles: DataFrame, turns: DataFrame): DataFrame =
+    tiles.groupBy("conv_id", "turn_idx", "try_index")
+      .agg(sum(origLen(col("chunk"))).as("tiled_len"))
+      .join(turns.select(col("conv_id"), col("turn_idx"),
+        length(col("text")).cast("long").as("text_len")), Seq("conv_id", "turn_idx"))
+      .filter(col("tiled_len") =!= col("text_len"))
 
   /** Render tiled rows as the reference's pipe-delimited line grammar
     * (`src/app.py:1484-1491`): index|chunk|cui|source|code|string|acc. */
