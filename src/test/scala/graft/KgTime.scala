@@ -33,11 +33,18 @@ object KgTime {
     })
     val base = SparkEntry.cfgOf(sfDir)
     val cfg = base.copy(nConvs = base.nConvs * mult)
+    val staged = sys.env.contains("KGTIME_STAGED") // time the stage-table shape
     (1 to reps).foreach { r =>
       stages.clear()
       val t0 = System.nanoTime()
-      val n = Pipeline.triples(spark, cfg).count()
-      println(f"KGTIME cores=$cores mult=$mult rep=$r n=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f heap=${Runtime.getRuntime.maxMemory / (1 << 20)}MB")
+      val n =
+        if (staged) {
+          val dir = java.nio.file.Files.createTempDirectory("kgtime_stage")
+          val c = Pipeline.triplesStaged(spark, cfg, dir.toString).count()
+          org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+          c
+        } else Pipeline.triples(spark, cfg).count()
+      println(f"KGTIME cores=$cores mult=$mult staged=$staged rep=$r n=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f heap=${Runtime.getRuntime.maxMemory / (1 << 20)}MB")
       Thread.sleep(500)
       stages.forEach(s => println(s))
     }
