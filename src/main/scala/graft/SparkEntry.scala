@@ -554,6 +554,44 @@ object SparkEntry {
           col("start_ind"), col("end_ind"), col("value"))
     }),
 
+    // A4-A6: IoU span clustering + acc-weighted concept vote + support
+    // threshold, all SQL-predictable (DocCorpus.voteInputs scaladoc)
+    "kgd_voted" -> ((s, dir) =>
+      Voting.vote(sources.DocCorpus.voteInputs(t(s, dir, "documents"))).toDF()
+        .select(col("conv_id").cast("long").as("doc_id"), col("start"),
+          col("end"), col("code"), col("concept_name"),
+          round(col("support"), 6).as("support"))),
+
+    // L1-L3: idf-overlap candidate scoring of every detected surface
+    // against the gazetteer — the scoring algebra (token idf, should-clause
+    // sum, rank by score/length/code) reproduced in plain SQL
+    "kgd_link" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      import s.implicits._
+      Linking.linkBySurface(sources.DocCorpus.mentions(docs),
+          sources.DocCorpus.gaz.toDF())
+        .select(col("surface"), col("cui"), col("sab"), col("code"),
+          col("str"), round(col("score"), 6).as("score"), col("rn"),
+          col("selected"))
+        .distinct()
+    }),
+
+    // S8: the same linking served from the PERSISTED lexical index
+    // (partition-pruned postings read; equality with the on-the-fly path
+    // is the invariant — same oracle as kgd_link)
+    "kgd_link_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      import s.implicits._
+      val idx = java.nio.file.Files.createTempDirectory("graft_lex")
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(idx.toFile)
+      LexicalIndex.build(sources.DocCorpus.gaz.toDF(), idx.toString)
+      LexicalIndex.linkBySurface(sources.DocCorpus.mentions(docs), s, idx.toString)
+        .select(col("surface"), col("cui"), col("sab"), col("code"),
+          col("str"), round(col("score"), 6).as("score"), col("rn"),
+          col("selected"))
+        .distinct()
+    }),
+
     // C1/C2: distributed connected components over a star+bridge graph
     // whose fixpoint is SQL-predictable (comp = doc_id - doc_id % 16)
     "kgd_components" -> ((s, dir) => {
@@ -711,7 +749,54 @@ object SparkEntry {
       |        FROM documents),
       |       (VALUES (0),(1),(2)) t(try_index))""".stripMargin
 
+  // L1-L3 oracle: the idf scoring algebra over the literal DocCorpus
+  // gazetteer, ranked exactly as the engine ranks (on the 9-dp score).
+  // Shared verbatim by the on-the-fly and persisted-index paths — their
+  // equality IS the index invariant.
+  private val kgdLinkSql: String =
+    s"""WITH $kgdCounts,
+       |gaz(cui, sab, code, str) AS (VALUES
+       |  ('CD000001','SNOMEDCT_US','D100','data'),
+       |  ('CD000002','SNOMEDCT_US','M100','merge'),
+       |  ('CD000003','SNOMEDCT_US','W100','window'),
+       |  ('CD000004','SNOMEDCT_US','S100','stream'),
+       |  ('CD000004','SNOMEDCT_US','S100','stream processing'),
+       |  ('CD000005','SNOMEDCT_US','DC100','data column'),
+       |  ('CD000001','ICD10CM','A10.1','icd alpha'),
+       |  ('CD000004','ICD10CM','B20.2','icd beta')),
+       |tok AS (SELECT DISTINCT cui, sab, code, str, t
+       |        FROM gaz, unnest(string_split(str, ' ')) AS u(t)),
+       |idf AS (SELECT t, ln(1 + 8.0 / count(*)) AS idf
+       |        FROM (SELECT DISTINCT sab, code, str, t FROM tok) GROUP BY t),
+       |surf(s) AS (
+       |  SELECT 'data' WHERE EXISTS(SELECT 1 FROM c WHERE n_data > 0)
+       |  UNION ALL SELECT 'data column' WHERE EXISTS(SELECT 1 FROM c WHERE n_dc > 0)
+       |  UNION ALL SELECT 'merge' WHERE EXISTS(SELECT 1 FROM c WHERE n_merge > 0)
+       |  UNION ALL SELECT 'stream' WHERE EXISTS(SELECT 1 FROM c WHERE n_stream > 0)
+       |  UNION ALL SELECT 'window' WHERE EXISTS(SELECT 1 FROM c WHERE n_window > 0)),
+       |qt AS (SELECT DISTINCT s, t FROM surf, unnest(string_split(s, ' ')) AS u(t)),
+       |sc AS (
+       |  SELECT qt.s AS surface, tok.cui, tok.sab, tok.code, tok.str,
+       |    round(sum(idf.idf), 9) AS score9
+       |  FROM qt JOIN tok ON qt.t = tok.t JOIN idf ON idf.t = qt.t
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |rk AS (
+       |  SELECT surface, cui, sab, code, str, round(score9, 6) AS score,
+       |    CAST(row_number() OVER (PARTITION BY surface
+       |      ORDER BY score9 DESC, length(str), code, sab) AS INTEGER) AS rn
+       |  FROM sc)
+       |SELECT surface, cui, sab, code, str, score, rn, (rn = 1) AS selected
+       |FROM rk WHERE rn <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "kgd_voted" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(p - 1 AS INTEGER) AS start, CAST(p + 3 AS INTEGER) AS "end",
+        |  'D100' AS code, 'data' AS concept_name, CAST(1.0 AS DOUBLE) AS support
+        |FROM (SELECT doc_id, instr(text, 'data') AS p FROM documents)
+        |WHERE p > 0""".stripMargin,
+    "kgd_link" -> kgdLinkSql,
+    "kgd_link_indexed" -> kgdLinkSql,
     "q33_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |true AS approx_ok FROM events GROUP BY 1""".stripMargin,

@@ -78,6 +78,42 @@ object DocCorpus {
     graft.operators.Linking.link(mentions(docs), gaz.toDF())
   }
 
+  /** Inputs for the voting oracle (A4-A6): per doc, rounds 0 and 1 propose
+    * COMPETING concepts (D100 at acc .99 / DA200 at acc .99) on the SAME
+    * span — the first `data` occurrence — and round 2 re-supports D100 at
+    * acc .9; round 1 alone additionally flags the first `window`
+    * occurrence. The identical-span cluster spans all 3 rounds (support
+    * 1.0) and the acc-weighted mode must pick D100 (1.89 over .99); the
+    * window singleton (support 1/3 < 0.5) must be dropped. Both outcomes
+    * are plain `instr` arithmetic for the oracle. */
+  def voteInputs(docs: DataFrame): org.apache.spark.sql.Dataset[graft.model.Mention] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col("doc_id").cast("string").as("conv_id"),
+      lit(0).as("turn_idx"), col("text"))
+    val dataRows = Seq(
+      (0, "D100", "data", 0.99), (1, "DA200", "alt data", 0.99),
+      (2, "D100", "data", 0.9)).map { case (r, code, name, acc) =>
+      base.withColumn("pos", instr(col("text"), "data"))
+        .filter(col("pos") > 0)
+        .select(col("conv_id"), col("turn_idx"), lit(r).as("try_index"),
+          (col("pos") - 1).cast("int").as("start"),
+          (col("pos") + 3).cast("int").as("end"),
+          lit("data").as("surface"), lit("CD000001").as("cui"),
+          lit("SNOMEDCT_US").as("source"), lit(code).as("code"),
+          lit(name).as("concept_name"), lit(acc).as("acc"))
+    }.reduce(_ unionByName _)
+    val windowRow = base.withColumn("pos", instr(col("text"), "window"))
+      .filter(col("pos") > 0)
+      .select(col("conv_id"), col("turn_idx"), lit(1).as("try_index"),
+        (col("pos") - 1).cast("int").as("start"),
+        (col("pos") + 5).cast("int").as("end"),
+        lit("window").as("surface"), lit("CD000003").as("cui"),
+        lit("SNOMEDCT_US").as("source"), lit("W100").as("code"),
+        lit("window").as("concept_name"), lit(0.99).as("acc"))
+    dataRows.unionByName(windowRow).as[graft.model.Mention]
+  }
+
   /** Deterministic (mentions, turns) inputs for the span-table operators:
     * newlines are injected (` merge ` → `\n`, the q22 convention — the raw
     * corpus is single-line) so `<NEW_LINE>` escaping and the orig-len

@@ -131,6 +131,49 @@ class Round3Spec extends GraftSuite {
       m = 32, bands = 8, threshold = 0.5).count() == 6)
   }
 
+  test("persisted lexical index: pruned postings read, scores == on-the-fly") {
+    val gaz = Seq(
+      ("C1", "SNOMEDCT_US", "PT", "Y", "100", "renal failure"),
+      ("C2", "SNOMEDCT_US", "PT", "Y", "200", "acute renal failure"),
+      ("C3", "RXNORM", "PT", "Y", "R1", "aspirin"),
+      ("C4", "LNC", "PT", "Y", "L1", "cardiac arrest")
+    ).toDF("cui", "sab", "tty", "ispref", "code", "str")
+    val mentions = Seq(
+      ("cv", 0, 0, 5, 18, "renal failure"),
+      ("cv", 1, 0, 2, 9, "aspirin"))
+      .toDF("conv_id", "turn_idx", "try_index", "start", "end", "surface")
+    val dir = Files.createTempDirectory("graft_lex_test").toString
+    LexicalIndex.build(gaz, dir)
+    val onTheFly = Linking.linkBySurface(mentions, gaz)
+      .select($"mention_key", $"surface", $"code", $"score", $"rn", $"selected")
+      .collect().map(_.toString).sorted.toSeq
+    val indexed = LexicalIndex.linkBySurface(mentions, spark, dir)
+    assert(indexed
+      .select($"mention_key", $"surface", $"code", $"score", $"rn", $"selected")
+      .collect().map(_.toString).sorted.toSeq == onTheFly)
+    // the postings scan is pruned to the query tokens' shards. The scan
+    // hides under AQE wrappers (the query has exchanges, unlike the direct
+    // IVF read below) — descend through adaptive plans / query stages
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans) ++
+        o.subqueries.flatMap(scans)
+    }
+    indexed.count() // materialize the adaptive stages
+    val scan = scans(indexed.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("postings"))).get
+    assert(scan.metadata("PartitionFilters").contains("shard"))
+    val totalShards = spark.read.parquet(s"$dir/postings")
+      .select($"shard").distinct().count()
+    assert(scan.selectedPartitions.partitionCount < totalShards,
+      s"expected pruning below $totalShards shards")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("persisted IVF index: partition-pruned probes, exact at full probing") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" === 0).select($"embedding").head()
