@@ -131,6 +131,20 @@ class Round3Spec extends GraftSuite {
       m = 32, bands = 8, threshold = 0.5).count() == 6)
   }
 
+  test("sink manifest carries the HLL distinct-subject metric, near exact") {
+    val cfg = Pipeline.Config(nConvs = 12, nBase = 32)
+    val triples = Pipeline.triples(spark, cfg).toDF()
+    val dir = Files.createTempDirectory("graft_sink_hll_").toString
+    GraphSink.writeResumable(triples, dir, "hll_run", nBuckets = 4)
+    val m = spark.read.parquet(GraphSink.manifestPath(dir))
+    val approx = m.agg(sum($"subj_approx_distinct")).head().getLong(0)
+    val exact = GraphSink.readTriples(spark, dir)
+      .groupBy($"bucket").agg(countDistinct($"subj").as("d"))
+      .agg(sum($"d")).head().getLong(0)
+    assert(approx > 0 && math.abs(approx - exact).toDouble / exact < 0.1,
+      s"HLL per-bucket distinct $approx vs exact $exact")
+  }
+
   test("persisted lexical index: pruned postings read, scores == on-the-fly") {
     val gaz = Seq(
       ("C1", "SNOMEDCT_US", "PT", "Y", "100", "renal failure"),
