@@ -222,14 +222,18 @@ object Bench {
     var failures = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => oracleOnly.contains(name) }
-      .map { case (name, fn) =>
+      .flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
-        // failures are REPORTED, not swallowed as silent -1 timings
-        // (VERDICT r2 minor): the JSON carries a failures map + count
-        try { fn(s32, sfDir).count() } catch { case e: Throwable =>
-          failures ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120))
-        }
+        // failures are REPORTED in the failures map and EXCLUDED from the
+        // queries map and total — a partial elapsed time of a crash is not
+        // a timing, and letting it into `total` would make round-over-round
+        // comparisons crash-shaped instead of performance-shaped
+        val ok =
+          try { fn(s32, sfDir).count(); true } catch { case e: Throwable =>
+            failures ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120))
+            false
+          }
         val sec = (System.nanoTime() - t0) / 1e9
         // queries may cache their stage-table analogue; don't let 50
         // queries accumulate cached blocks. clearCache() removes the
@@ -239,7 +243,7 @@ object Bench {
         // localCheckpoint blocks, which live outside the catalog.
         s32.catalog.clearCache()
         s32.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        name -> sec
+        if (ok) Some(name -> sec) else None
       }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -57,10 +57,11 @@ object GraphSink {
   def writeResumable(triples: DataFrame, dir: String, runId: String,
       nBuckets: Int = 16, onlyBuckets: Option[Seq[Long]] = None): Long = {
     val spark = triples.sparkSession
+    // NOTE: dynamic partition overwrite routes task output through
+    // .spark-staging and promotes partition dirs on the DRIVER — the v2
+    // task-side committer does not apply to this write (it does apply to
+    // the plain-overwrite stage-table writes, see Pipeline.triplesStaged)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // task-side commit (v2): bucket-file promotion parallelizes with cores
-    spark.sparkContext.hadoopConfiguration
-      .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
     // the committed-bucket set is tiny by construction (≤ nBuckets rows per
     // completed run) — collected once, it drives BOTH the resume anti-filter
     // and the pruned metrics read-back
@@ -81,28 +82,28 @@ object GraphSink {
     // zero-task writes (nothing left to resume) never evaluate the
     // CollectMetrics node — an absent metric means zero rows
     val written = obs.get.getOrElse("rows_written", 0L).asInstanceOf[Long]
-    if (written > 0L) {
-      // manifest row written ONLY after the data commit (the commit point);
-      // derived from the committed files via a bucket-pruned scan
-      val readBack = readTriples(spark, dir)
-        .filter(notDone(col("bucket")))
-      val newOnly = onlyBuckets match {
-        case Some(bs) => readBack.filter(col("bucket").isin(bs: _*))
-        case None     => readBack
-      }
-      metrics(newOnly).withColumn("run_id", lit(runId))
-        .write.mode(SaveMode.Append).parquet(manifestPath(dir))
+    if (written == 0L) return 0L
+    // metrics derived from the committed files via a bucket-pruned scan
+    val readBack = readTriples(spark, dir)
+      .filter(notDone(col("bucket")))
+    val newOnly = onlyBuckets match {
+      case Some(bs) => readBack.filter(col("bucket").isin(bs: _*))
+      case None     => readBack
     }
-    val mPath = new org.apache.hadoop.fs.Path(manifestPath(dir))
-    val mFs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!mFs.exists(mPath)) { require(written == 0L); return 0L }
-    val manifestRows = spark.read.parquet(manifestPath(dir))
-      .filter(col("run_id") === runId)
-    val recorded = manifestRows.agg(coalesce(sum(col("triple_count")), lit(0L)))
-      .head().getLong(0)
+    val metricsDf = metrics(newOnly)
+    val metricRows = metricsDf.collect() // ≤ nBuckets rows by construction
+    // the observed-vs-on-disk cross-check runs BEFORE the manifest append
+    // (the commit point): a mismatch — torn file, stale leftovers in a
+    // not-yet-committed bucket — must abort WITHOUT durably committing
+    // those buckets, or resume would skip them forever
+    val recorded = metricRows.map(_.getLong(1)).sum
     require(recorded == written,
-      s"manifest/observed mismatch: manifest=$recorded observed=$written")
-    manifestRows.count()
+      s"on-disk/observed mismatch: disk=$recorded observed=$written")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(metricRows.toSeq, 1), metricsDf.schema)
+      .withColumn("run_id", lit(runId))
+      .write.mode(SaveMode.Append).parquet(manifestPath(dir))
+    metricRows.length.toLong
   }
 
   def readTriples(spark: SparkSession, dir: String): DataFrame =

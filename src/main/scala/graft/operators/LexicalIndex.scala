@@ -21,41 +21,39 @@ object LexicalIndex {
 
   val NumShards = 16
 
-  /** One-time index build from the gazetteer (the ES `parallel_bulk`). */
-  def build(gaz: DataFrame, path: String): Unit = {
-    val aliasTok = gaz
-      .select(col("cui"), col("sab"), col("code"), col("str"),
-        explode(expr("array_distinct(split(lower(str), '[^a-z0-9]+'))")).as("token"))
-      .filter(length(col("token")) > 0)
-    val nAliases = gaz.agg(count(lit(1)).cast("double").as("n_aliases"))
-    val idf = aliasTok.groupBy("token")
-      .agg(countDistinct(col("sab"), col("code"), col("str")).as("df"))
-      .crossJoin(broadcast(nAliases))
-      .withColumn("idf", log(lit(1.0) + col("n_aliases") / col("df")))
-      .select(col("token"), col("idf"))
-    aliasTok.join(broadcast(idf), "token")
+  /** One-time index build from the gazetteer (the ES `parallel_bulk`).
+    * The postings rows come from [[Linking.aliasPostings]] — the SAME
+    * definition the on-the-fly scorer consumes, so score-identity between
+    * the two paths holds by construction, not by hand-synced copies. */
+  def build(gaz: DataFrame, path: String): Unit =
+    Linking.aliasPostings(gaz)
       .withColumn("shard", pmod(xxhash64(col("token")), lit(NumShards)))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/postings")
-  }
 
   /** L1-L3 served from the persisted index: same output contract as
     * [[Linking.linkBySurface]] (mention_key, surface, candidates, rn,
-    * selected). The shard set of the query tokens is collected first
-    * (bounded by NumShards — a handful of longs) so the postings read is
-    * partition-PRUNED; the scored per-surface rankings broadcast back onto
-    * the mention stream exactly as the on-the-fly path does. */
+    * selected). The distinct surfaces are COLLECTED once (they are
+    * gazetteer-bounded — the same assumption that justifies broadcasting
+    * the rankings back), so the mention stream is scanned exactly twice
+    * (distinct + final join-back, as in the on-the-fly path) and the
+    * scoring side becomes a driver-local relation joined against the
+    * partition-PRUNED postings shards of its query tokens. */
   def linkBySurface(mentions: DataFrame, spark: SparkSession, path: String,
       topK: Int = 10): DataFrame = {
-    val surfaces = mentions.select(col("surface")).distinct()
-    val qTok = surfaces
+    import spark.implicits._
+    val surfaceList = mentions.select(col("surface")).distinct()
+      .as[String].collect().toSeq
+    val qTok = surfaceList.toDF("surface")
       .select(col("surface"),
         explode(expr("array_distinct(split(lower(surface), '[^a-z0-9]+'))")).as("token"))
       .filter(length(col("token")) > 0)
-    val shards = qTok
+    val postings0 = spark.read.parquet(s"$path/postings")
+    // shard ids of the query tokens, computed with the SAME xxhash64 the
+    // writer used — via a tiny local-relation projection, no cluster pass
+    val shardIds = qTok
       .select(pmod(xxhash64(col("token")), lit(NumShards)).as("shard"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("shard").isin(shards: _*))
+      .distinct().as[Long].collect().toSeq
+    val postings = postings0.filter(col("shard").isin(shardIds: _*))
     val cand = broadcast(qTok).join(postings, "token")
       .groupBy(col("surface"), col("cui"), col("sab"), col("code"), col("str"))
       .agg(round(sum(col("idf")), 9).as("score"))

@@ -103,12 +103,14 @@ object Linking {
       .join(broadcast(perSurface), "surface")
   }
 
-  /** One ES-should-clause analogue: idf-overlap score of every candidate
-    * alias against each distinct query string `q` (the shared scoring core
-    * of [[linkBySurface]] and [[linkFaceted]]). No driver actions: the
-    * alias total joins in as a broadcast single-row aggregate instead of a
-    * `gaz.count()` per invocation. */
-  def clauseScores(queries: DataFrame, gaz: DataFrame): DataFrame = {
+  /** The scoring algebra's single source of truth: idf-weighted alias
+    * postings (token, cui, sab, code, str, idf) with
+    * idf(t) = ln(1 + N_aliases / df(t)). Consumed in-flight by
+    * [[clauseScores]] and written to disk by
+    * [[LexicalIndex.build]] — ONE definition, so the persisted index's
+    * score-identity contract can't drift out of sync. No driver actions:
+    * the alias total joins in as a broadcast single-row aggregate. */
+  def aliasPostings(gaz: DataFrame): DataFrame = {
     val aliasTok = gaz
       .select(col("cui"), col("sab"), col("code"), col("str"),
         explode(expr("array_distinct(split(lower(str), '[^a-z0-9]+'))")).as("token"))
@@ -118,14 +120,20 @@ object Linking {
       .agg(countDistinct(col("sab"), col("code"), col("str")).as("df"))
       .crossJoin(broadcast(nAliases))
       .withColumn("idf", log(lit(1.0) + col("n_aliases") / col("df")))
-      .drop("n_aliases")
-    val scoredTokens = aliasTok.join(broadcast(idf), "token")
+      .drop("n_aliases", "df")
+    aliasTok.join(broadcast(idf), "token")
+  }
+
+  /** One ES-should-clause analogue: idf-overlap score of every candidate
+    * alias against each distinct query string `q` (the shared scoring core
+    * of [[linkBySurface]] and [[linkFaceted]]). */
+  def clauseScores(queries: DataFrame, gaz: DataFrame): DataFrame = {
     val qTok = queries
       .select(col("q"),
         explode(expr("array_distinct(split(lower(q), '[^a-z0-9]+'))")).as("token"))
       .filter(length(col("token")) > 0)
     // token-overlap join against the broadcast index, then two-phase agg
-    qTok.join(broadcast(scoredTokens), "token")
+    qTok.join(broadcast(aliasPostings(gaz)), "token")
       .groupBy(col("q"), col("cui"), col("sab"), col("code"), col("str"))
       .agg(round(sum(col("idf")), 9).as("score"))
   }
@@ -149,42 +157,40 @@ object Linking {
     * (sort-merge / AQE's choice) — slower, but it cannot OOM the driver.
     * The count costs one extra partial-agg pass over the mention keys; at
     * 10^12 mentions that is the price of not gambling the driver on a
-    * cardinality assumption. The final join matches on
-    * (qkey, surface, fentries) — full combo identity, so a 64-bit qkey
-    * collision is structurally unable to merge two combos' rankings. */
+    * cardinality assumption. Every grouping/window/join key is the FULL
+    * combo identity (qkey, surface, fentries) — the 64-bit qkey leads the
+    * key only to make hashing/sorting cheap, so a qkey collision costs a
+    * few comparisons, never a merged ranking or a dropped mention. */
   def linkFaceted(mentions: DataFrame, gaz: DataFrame, topK: Int = 10,
       maxBroadcastCombos: Long = 100000L): DataFrame = {
-    // combo identity = one 64-bit hash of (surface, sorted facet entries):
-    // grouping/window keys stay fixed-width longs instead of array<struct>
-    // comparisons on every row. xxhash64 hashes the nested array<struct>
-    // directly — a to_json serialization here measured ~20s CPU per
-    // consumer at sf0.1
+    // combo identity = (surface, sorted facet entries); the leading 64-bit
+    // hash keeps the heavy comparisons rare (equal-hash rows only).
+    // xxhash64 hashes the nested array<struct> directly — a to_json
+    // serialization here measured ~20s CPU per consumer at sf0.1
+    val comboKey = Seq("qkey", "surface", "fentries")
     val norm = mentions.withColumn("fentries",
       sort_array(map_entries(coalesce(col("facets"),
         expr("map()").cast("map<string,array<string>>")))))
       .withColumn("qkey", xxhash64(col("surface"), col("fentries")))
-    val combos = norm.groupBy(col("qkey"))
-      .agg(first(col("surface")).as("surface"), first(col("fentries")).as("fentries"))
+    val combos = norm.select(col("qkey"), col("surface"), col("fentries")).distinct()
     // clauses of a combo: the surface + every facet keyword. Each entry's
     // keyword array is null-coalesced FIRST — flatten() nulls out on any
     // null nested array, which would explode to zero clause rows and drop
     // the mention entirely instead of degrading to surface-only scoring
-    val clauses = combos.select(col("qkey"),
+    val clauses = combos.select(col("qkey"), col("surface"), col("fentries"),
       explode(concat(array(col("surface")),
         flatten(transform(col("fentries"),
           e => coalesce(e.getField("value"), array()))))).as("q"))
     val perClause = clauseScores(clauses.select("q").distinct(), gaz)
     val scored = clauses.join(broadcast(perClause), "q")
-      .groupBy(col("qkey"), col("cui"), col("sab"), col("code"), col("str"))
+      .groupBy(col("qkey"), col("surface"), col("fentries"),
+        col("cui"), col("sab"), col("code"), col("str"))
       .agg(round(sum(col("score")), 9).as("score"))
-    val wTop = Window.partitionBy("qkey")
+    val wTop = Window.partitionBy(comboKey.map(col): _*)
       .orderBy(col("score").desc, length(col("str")).asc, col("code").asc, col("sab").asc)
-    // re-attach the combo's surface+fentries (co-partitioned on qkey) so
-    // the mention-stream join can verify full combo identity, not the hash
     val perCombo = scored.withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= topK)
       .withColumn("selected", col("rn") === 1)
-      .join(combos, "qkey")
 
     val nCombos = combos.count()
     val ranked =
@@ -194,7 +200,7 @@ object Linking {
         xxhash64(col("conv_id"), col("turn_idx"), col("try_index"),
           col("start"), col("end")))
       .select(col("mention_key"), col("qkey"), col("surface"), col("fentries"))
-      .join(ranked, Seq("qkey", "surface", "fentries"))
+      .join(ranked, comboKey)
       .drop("qkey", "fentries")
   }
 }

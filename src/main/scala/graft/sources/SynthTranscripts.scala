@@ -92,6 +92,16 @@ object SynthTranscripts {
     * ingest would apply before any heavy per-turn stage). */
   val BlockSize = 256
 
+  /** Partitions per core for the heavy text-synthesis/extraction stage.
+    * Per-turn work varies ~20× (1-18 lines), so coarse waves leave a
+    * straggler tail at high core counts; more, smaller tasks smooth it
+    * (dev knob for measuring — default chosen by measurement). */
+  def genPartsMult: Int =
+    sys.env.get("SPARK_GRAFT_GEN_PARTS_MULT")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ > 0)
+      .getOrElse(4)
+
   /** Distributed generation in two phases: a cheap per-conv flatMap emits
     * (conv, turn-range) block DESCRIPTORS, a hash repartition on
     * (conv, block) spreads them evenly (this is where mega-conversation
@@ -114,7 +124,7 @@ object SynthTranscripts {
       // byte-sized coalescing would collapse this shuffle to one partition
       // and serialize the heavy expansion downstream — partition count must
       // track the post-expansion work, not the shuffle payload
-      .repartition(spark.sparkContext.defaultParallelism * 4,
+      .repartition(spark.sparkContext.defaultParallelism * genPartsMult,
         col("c"), col("t0"))
       .as[(Long, Int, Int)]
       .flatMap { case (c, t0, t1) =>
