@@ -472,6 +472,13 @@ object SparkEntry {
         m = 32, bands = 16, trueThreshold = 0.5, k = 3)
         .orderBy("id_a", "id_b")),
 
+    // keep-one-per-cluster dedup: CC over the verified near-dup pair graph
+    // (transitive chains resolved); oracle = recursive-CTE closure over the
+    // exact O(n²) pair set
+    "dd_canonical" -> ((s, dir) =>
+      Dedup.canonicalByNearDup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // persisted IVF index: build once (assignments written partitionBy
     // ivf_cid + tiny codebook), serve queries from partition-pruned reads.
     // The DRIVER-checked invariant is losslessness (full probing == exact
@@ -812,6 +819,25 @@ object SparkEntry {
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pj WHERE j >= 0.5""".stripMargin,
+    "dd_canonical" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |    for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |pj AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pj
+        |      UNION ALL SELECT id_b AS a, id_a AS b FROM pj),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
+        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+        |FROM reach GROUP BY 1""".stripMargin,
     "kgd_mentions" ->
       s"""WITH $kgdCounts
          |SELECT CAST(doc_id AS BIGINT) AS doc_id, t.try_index, 'D100' AS code,

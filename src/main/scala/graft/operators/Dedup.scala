@@ -170,6 +170,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The keep-one-per-cluster last mile of near-dup dedup: connected
+    * components over the verified near-dup pair graph (a doc can chain
+    * A≈B≈C without A≈C — transitive closure is required, pair removal is
+    * not enough), canonical id = least member. Docs in no pair are their
+    * own canonical. Pairs come from [[minhashLshTrueJaccardPairs]] — the
+    * banded (never all-pairs) candidate path — and the CC loop is the same
+    * iterative-DataFrame operator the KG alias canonicalization uses. */
+  def canonicalByNearDup(df: DataFrame, idCol: String, textCol: String,
+      m: Int = 32, bands: Int = 16, trueThreshold: Double = 0.5, k: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = minhashLshTrueJaccardPairs(df, idCol, textCol, m, bands,
+      trueThreshold, k, maxBucket)
+    val ids = df.select(col(idCol).cast("long").as("id"))
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(ids.select(col("id").as("src"), col("id").as("dst")))
+    ids.join(ConnectedComponents.run(edges), Seq("id"))
+      .select(col("id").as(idCol), col("comp").as("canonical_id"))
+  }
+
   /** SimHash-64 of the word multiset as a pure column expression: for each
     * bit position, sum ±1 over token hashes and take the sign bit.
     * Written as ONE fold over the tokens (accumulator = 64 bit-counters,
