@@ -477,6 +477,8 @@ object SparkEntry {
     // exact O(n²) pair set
     "dd_canonical" -> ((s, dir) =>
       Dedup.canonicalByNearDup(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("canonical_id").cast("long").as("canonical_id"))
         .orderBy("doc_id")),
 
     // persisted IVF index: build once (assignments written partitionBy

@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** edges(src: long, dst: long) -> (id: long, comp: long); isolated nodes
-    * must be passed as self-loops if they should appear in the output. */
+    * must be passed as self-loops if they should appear in the output.
+    * Non-convergence within `maxIter` rounds (graph diameter > maxIter —
+    * e.g. a path-shaped near-dup chain of incremental edits) THROWS rather
+    * than silently returning partial labels: wrong canonical ids are worse
+    * than a loud failure telling the caller to raise maxIter or switch to
+    * large-star/small-star. */
   def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -63,6 +68,10 @@ object ConnectedComponents {
       comp = next
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds — " +
+          "graph diameter exceeds maxIter; raise it or use a star-contraction variant")
     comp
   }
 }

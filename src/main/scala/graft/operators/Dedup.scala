@@ -155,8 +155,13 @@ object Dedup {
   def minhashLshTrueJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       m: Int = 32, bands: Int = 16, trueThreshold: Double = 0.5, k: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      graft.functions.SignatureExprs.shingleHashes(col(textCol), k).as("sh"))
+    // docs shorter than k words carry no k-shingle and never pair (the
+    // signature kernel pads them to one short shingle for LSH bucketing,
+    // but "near-dup" is undefined below one full shingle — and the exact
+    // SQL oracles exclude them the same way)
+    val sh = df.filter(size(words(col(textCol))) >= k)
+      .select(col(idCol).as("id"),
+        graft.functions.SignatureExprs.shingleHashes(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
     val banded = bandedMinhash(df, idCol, textCol, m, bands, k)
     bucketPairIds(capBuckets(banded, Seq("band", "bkey"), maxBucket),
@@ -173,21 +178,36 @@ object Dedup {
   /** The keep-one-per-cluster last mile of near-dup dedup: connected
     * components over the verified near-dup pair graph (a doc can chain
     * A≈B≈C without A≈C — transitive closure is required, pair removal is
-    * not enough), canonical id = least member. Docs in no pair are their
-    * own canonical. Pairs come from [[minhashLshTrueJaccardPairs]] — the
-    * banded (never all-pairs) candidate path — and the CC loop is the same
-    * iterative-DataFrame operator the KG alias canonicalization uses. */
+    * not enough; the chain shape is unit-tested since the synthetic corpus
+    * only contains cliques), canonical id = least member by the id's own
+    * ordering. Docs in no pair are their own canonical. Pairs come from
+    * [[minhashLshTrueJaccardPairs]] — the banded (never all-pairs)
+    * candidate path — and the CC loop is the same iterative-DataFrame
+    * operator the KG alias canonicalization uses, with the same id
+    * treatment: any id TYPE works (ids ride the CC loop as 64-bit hashes —
+    * [[Canonicalize.canonicalConcepts]] precedent; a hash collision merges
+    * two clusters with probability ~n²/2^64, negligible and documented,
+    * never silent row loss). Contract caveats: run exact dedup first
+    * (capBuckets' boilerplate contract — a >maxBucket near-identical
+    * cluster would otherwise split), and threshold well above the banding
+    * floor so pair recall is ~1 (see [[minhashLshTrueJaccardPairs]]). */
   def canonicalByNearDup(df: DataFrame, idCol: String, textCol: String,
       m: Int = 32, bands: Int = 16, trueThreshold: Double = 0.5, k: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
     val pairs = minhashLshTrueJaccardPairs(df, idCol, textCol, m, bands,
       trueThreshold, k, maxBucket)
-    val ids = df.select(col(idCol).cast("long").as("id"))
+    val ids = df.select(col(idCol).as("orig")).distinct()
+      .withColumn("nid", xxhash64(col("orig").cast("string")))
     val edges = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .unionByName(ids.select(col("id").as("src"), col("id").as("dst")))
-    ids.join(ConnectedComponents.run(edges), Seq("id"))
-      .select(col("id").as(idCol), col("comp").as("canonical_id"))
+      .select(xxhash64(col("id_a").cast("string")).as("src"),
+        xxhash64(col("id_b").cast("string")).as("dst"))
+      .unionByName(ids.select(col("nid").as("src"), col("nid").as("dst")))
+    val withComp = ids
+      .join(ConnectedComponents.run(edges), ids("nid") === col("id"))
+      .select(col("orig"), col("comp"))
+    val canon = withComp.groupBy("comp").agg(min(col("orig")).as("canonical_id"))
+    withComp.join(canon, "comp")
+      .select(col("orig").as(idCol), col("canonical_id"))
   }
 
   /** SimHash-64 of the word multiset as a pure column expression: for each

@@ -131,6 +131,23 @@ class Round3Spec extends GraftSuite {
       m = 32, bands = 8, threshold = 0.5).count() == 6)
   }
 
+  test("canonicalByNearDup resolves transitive chains; id types preserved") {
+    // a PATH-shaped cluster — J(a,b)=J(b,c)=0.6, J(a,c)=0.33 — that only
+    // transitive closure merges (the synthetic corpus holds cliques only,
+    // so this shape is exactly what the oracle can't exercise)
+    val w = (1 to 26).map(i => f"tok$i%02d")
+    val a = w.slice(0, 18).mkString(" ")   // words 1..18
+    val b = w.slice(4, 22).mkString(" ")   // words 5..22: J(a,b)=12/20=0.6
+    val c = w.slice(8, 26).mkString(" ")   // words 9..26: J(b,c)=0.6, J(a,c)=8/24=0.33
+    val far = (1 to 18).map(i => s"other$i").mkString(" ")
+    val docs = Seq(("dA", a), ("dB", b), ("dC", c), ("dD", far))
+      .toDF("doc_id", "text") // STRING ids — must survive untouched
+    val out = Dedup.canonicalByNearDup(docs, "doc_id", "text",
+        trueThreshold = 0.5)
+      .as[(String, String)].collect().toMap
+    assert(out == Map("dA" -> "dA", "dB" -> "dA", "dC" -> "dA", "dD" -> "dD"))
+  }
+
   test("sink manifest carries the HLL distinct-subject metric, near exact") {
     val cfg = Pipeline.Config(nConvs = 12, nBase = 32)
     val triples = Pipeline.triples(spark, cfg).toDF()
