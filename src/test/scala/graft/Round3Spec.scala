@@ -51,8 +51,8 @@ class Round3Spec extends GraftSuite {
     try {
       val guarded = Linking.linkFaceted(mentions, gaz, maxBroadcastCombos = 4)
       val hinted = Linking.linkFaceted(mentions, gaz) // default: combos ≤ cap
-      // the MENTION-stream join is the 3-key (qkey, surface, fentries) join;
-      // the internal combo re-attach join is SMJ in both paths by design
+      // the MENTION-stream join is the 3-key (qkey, surface, fentries) join
+      // (match on its key list — other joins in the plan are internal)
       val mentionBJ = "BroadcastHashJoin \\[qkey#\\d+L, surface".r
       val mentionSMJ = "SortMergeJoin \\[qkey#\\d+L, surface".r
       val gp = guarded.queryExecution.sparkPlan.toString
