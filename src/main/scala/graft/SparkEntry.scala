@@ -521,6 +521,41 @@ object SparkEntry {
           round(col("confidence"), 6).as("confidence"),
           col("icd10_code"), col("icd10_name"))),
 
+    // §2.10 driver-green: the SAME support surface computed INCREMENTALLY —
+    // documents split into 8 parquet files, streamed one file per
+    // micro-batch (Trigger.AvailableNow), each batch through the real
+    // extraction→linking→A1/A2 stages via foreachBatch (turn = doc, so a
+    // unit of work never splits across batches); the unioned batch outputs
+    // must equal the one-shot batch answer — stream == batch, judged by
+    // the same DuckDB oracle as kgd_support
+    "kgd_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      val out = java.nio.file.Files.createTempDirectory("graft_stream_out")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+      Seq(src, out, ckpt).foreach(p =>
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(p.toFile))
+      docs.repartition(8).write.mode("overwrite").parquet(src.toString)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Aggregation.perTurn(sources.DocCorpus.linked(batch))
+            .write.mode("append").parquet(out.toString)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out.toString)
+        .select(col("turn_idx").cast("long").as("doc_id"), col("source"),
+          col("code"), col("cui"), col("concept_name"), col("text"),
+          col("total_count"), col("unique_count"),
+          round(col("confidence"), 6).as("confidence"),
+          col("icd10_code"), col("icd10_name"))
+    }),
+
     // A3: cross-turn merge to conversation (= lang) level
     "kgd_agg" -> ((s, dir) =>
       Aggregation.perConv(
@@ -853,6 +888,16 @@ object SparkEntry {
          |UNION ALL SELECT CAST(doc_id AS BIGINT), t.try_index, 'S100', n_stream
          |  FROM c, (VALUES (0),(2)) t(try_index) WHERE n_stream > 0""".stripMargin,
     "kgd_support" ->
+      s"""WITH $kgdCounts, $kgdSup
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, 'SNOMEDCT_US' AS source, code,
+         |  cui, cname AS concept_name, stext AS text,
+         |  CAST(total_count AS BIGINT) AS total_count,
+         |  CAST(unique_count AS BIGINT) AS unique_count,
+         |  round(unique_count / 3.0, 6) AS confidence, icd10_code, icd10_name
+         |FROM sup""".stripMargin,
+    // stream == batch: the incremental run must produce exactly the batch
+    // support table (same oracle text as kgd_support)
+    "kgd_stream" ->
       s"""WITH $kgdCounts, $kgdSup
          |SELECT CAST(doc_id AS BIGINT) AS doc_id, 'SNOMEDCT_US' AS source, code,
          |  cui, cname AS concept_name, stext AS text,
