@@ -13,8 +13,15 @@ import org.apache.spark.sql.SparkSession
   *     frequency/bandwidth ceiling — so pipeline efficiency there is
   *     host-bounded, reported alongside that measured ceiling).
   *
-  * Each measurement is warm-up + best-of-2 (single-JVM timings on a shared
-  * VM spike >5× under host steal; min is the stable estimator).
+  * Each measurement is warm-up + interleaved best-of-N (single-JVM timings
+  * on a shared VM spike >5× under host steal; min is the stable
+  * estimator), and every scaling block is SELF-CERTIFYING (VERDICT r3
+  * item 1): per-rep times are recorded (not just the min), quick ALU +
+  * memory-bandwidth probes bracket each block (ctl_pre/ctl_post), and a
+  * block whose bracketing probes disagree by > 25% — a host patch opened
+  * or closed mid-window — is re-run once with both attempts kept in the
+  * JSON. Both the pure-DAG and staged (production-IO) shapes are measured
+  * at both core pairs.
   */
 object Bench {
 
@@ -76,12 +83,14 @@ object Bench {
     * INTERLEAVED across `rounds` alternating sessions and the per-side min
     * taken — a slow window then hits both sides instead of biasing one.
     * JIT/codegen/automaton caches are JVM-wide, so one global warm-up
-    * covers all later sessions. */
+    * covers all later sessions. Returns every rep's time, not just the min
+    * (VERDICT r3 item 1a: the artifact must be able to show "both reps
+    * degraded", not just the survivor). */
   private def interleaved(sfDir: String, loCores: Int, hiCores: Int,
-      mult: Int, rounds: Int, staged: Boolean = false): (Long, Double, Double) = {
+      mult: Int, rounds: Int, staged: Boolean = false): (Long, Seq[Double], Seq[Double]) = {
     var n = 0L
-    var bestLo = Double.MaxValue
-    var bestHi = Double.MaxValue
+    var lo = List.empty[Double]
+    var hi = List.empty[Double]
     (1 to rounds).foreach { _ =>
       val sLo = session(loCores)
       val (nn, tLo) = kgRun(sLo, sfDir, mult, staged)
@@ -90,21 +99,88 @@ object Bench {
       val (_, tHi) = kgRun(sHi, sfDir, mult, staged)
       sHi.stop()
       n = nn
-      bestLo = math.min(bestLo, tLo)
-      bestHi = math.min(bestHi, tHi)
+      lo :+= tLo
+      hi :+= tHi
     }
-    (n, bestLo, bestHi)
+    (n, lo, hi)
   }
 
-  private def scalingJson(loCores: Int, hiCores: Int, n: Long,
-      secLo: Double, secHi: Double): (Double, String) = {
-    val thrLo = n / secLo
-    val thrHi = n / secHi
-    val eff = thrHi / ((hiCores.toDouble / loCores) * thrLo)
-    (thrHi, f"""{"cores_lo":$loCores,"cores_hi":$hiCores,"triples":$n,""" +
-      f""""sec_lo":$secLo%.3f,"sec_hi":$secHi%.3f,""" +
-      f""""triples_per_sec_lo":$thrLo%.1f,"triples_per_sec_hi":$thrHi%.1f,""" +
-      f""""efficiency":$eff%.3f}""")
+  /** One host-ceiling probe (quick form of the two full controls below):
+    * ALU ops/s and memory bandwidth at both sides of the 8→32 pair. Run
+    * immediately BEFORE and AFTER every scaling block so each block's
+    * artifact carries the ceiling of ITS OWN window (VERDICT r3 item 1b —
+    * the r3 controls ran once, after all blocks, and could not certify the
+    * window that actually hit the reps). ~4s per probe. */
+  private final case class Probe(alu8: Double, alu32: Double,
+      bw8: Double, bw32: Double) {
+    def aluEff: Double = alu32 / (4.0 * alu8)
+    def bwEff: Double = bw32 / (4.0 * bw8)
+    def json: String =
+      f"""{"alu_ops_per_sec_8":$alu8%.0f,"alu_ops_per_sec_32":$alu32%.0f,""" +
+        f""""alu_eff_8_32":$aluEff%.3f,""" +
+        f""""mem_gb_per_sec_8":${bw8 / 1e9}%.1f,"mem_gb_per_sec_32":${bw32 / 1e9}%.1f,""" +
+        f""""mem_bw_eff_8_32":$bwEff%.3f}"""
+    /** Max relative disagreement of the absolute 32-thread throughputs —
+      * the steal-sensitive side of the pair. */
+    def disagreement(o: Probe): Double = {
+      def rel(a: Double, b: Double) = math.abs(a - b) / math.max(a, b)
+      math.max(rel(alu32, o.alu32), math.max(rel(bw32, o.bw32),
+        math.max(rel(alu8, o.alu8), rel(bw8, o.bw8))))
+    }
+  }
+
+  private def probe(): Probe =
+    Probe(aluOpsPerSec(8, 100000000L), aluOpsPerSec(32, 100000000L),
+      memBwBytesPerSec(8, 2), memBwBytesPerSec(32, 2))
+
+  /** One measured attempt of a scaling block: probe → interleaved reps →
+    * probe. `certified` = the bracketing probes agree within 25% on every
+    * absolute throughput, i.e. no host patch opened or closed mid-block. */
+  private final case class Attempt(n: Long, lo: Seq[Double], hi: Seq[Double],
+      pre: Probe, post: Probe) {
+    def secLo: Double = lo.min
+    def secHi: Double = hi.min
+    def disagreement: Double = pre.disagreement(post)
+    def certified: Boolean = disagreement <= 0.25
+    def json(loCores: Int, hiCores: Int): String = {
+      val thrLo = n / secLo
+      val thrHi = n / secHi
+      val eff = thrHi / ((hiCores.toDouble / loCores) * thrLo)
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+      f"""{"cores_lo":$loCores,"cores_hi":$hiCores,"triples":$n,""" +
+        f""""sec_lo":$secLo%.3f,"sec_hi":$secHi%.3f,""" +
+        s""""sec_lo_reps":${arr(lo)},"sec_hi_reps":${arr(hi)},""" +
+        f""""triples_per_sec_lo":$thrLo%.1f,"triples_per_sec_hi":$thrHi%.1f,""" +
+        f""""efficiency":$eff%.3f,""" +
+        s""""ctl_pre":${pre.json},"ctl_post":${post.json},""" +
+        f""""ctl_disagreement":$disagreement%.3f,"window_certified":$certified}"""
+    }
+    def efficiency(loCores: Int, hiCores: Int): Double =
+      (n / secHi) / ((hiCores.toDouble / loCores) * (n / secLo))
+  }
+
+  /** Measure one scaling block with self-certifying evidence: if the
+    * bracketing probes disagree by > 25% (a host patch hit the window), the
+    * block is re-run ONCE and BOTH attempts land in the JSON (VERDICT r3
+    * item 1c) — the reported numbers come from the better-certified
+    * attempt, and a still-uncertified artifact says so itself instead of
+    * leaving an implausible efficiency unexplained (r3's official 0.231). */
+  private def measureBlock(sfDir: String, loCores: Int, hiCores: Int,
+      mult: Int, rounds: Int, staged: Boolean = false): (Attempt, String) = {
+    def attempt(): Attempt = {
+      val pre = probe()
+      val (n, lo, hi) = interleaved(sfDir, loCores, hiCores, mult, rounds, staged)
+      Attempt(n, lo, hi, pre, probe())
+    }
+    val first = attempt()
+    if (first.certified) (first, first.json(loCores, hiCores))
+    else {
+      val second = attempt()
+      val best = if (second.disagreement <= first.disagreement) second else first
+      val other = if (best eq second) first else second
+      (best, best.json(loCores, hiCores).dropRight(1) +
+        s""","discarded_attempt":${other.json(loCores, hiCores)}}""")
+    }
   }
 
   /** Host-ceiling control: a register-only ALU loop (no memory traffic, no
@@ -113,8 +189,8 @@ object Bench {
     * efficiency at that pair is host-bounded by the same ceiling; embedding
     * the control in the bench JSON makes the argument machine-checkable
     * (VERDICT r1 item 9). Returns ops/sec aggregated across threads. */
-  private def aluOpsPerSec(k: Int): Double = {
-    val itersPerThread = 400000000L
+  private def aluOpsPerSec(k: Int,
+      itersPerThread: Long = 400000000L): Double = {
     val t0 = System.nanoTime()
     val threads = (1 to k).map { seed =>
       val t = new Thread(() => {
@@ -143,9 +219,8 @@ object Bench {
     a
   }
 
-  private def memBwBytesPerSec(k: Int): Double = {
+  private def memBwBytesPerSec(k: Int, reps: Int = 6): Double = {
     val a = bwArray
-    val reps = 6
     val t0 = System.nanoTime()
     val threads = (0 until k).map { tid =>
       val t = new Thread(() => {
@@ -195,27 +270,39 @@ object Bench {
     kgRun(sWarm, sfDir, multA)
     sWarm.stop()
 
-    val (nA, secLoA, secHiA) = interleaved(sfDir, 2, 8, multA, rounds = 3)
-    val (nB, secLoB, secHiB) = interleaved(sfDir, 8, 32, multB, rounds = 2)
-    // staged (production-IO) shape, secondary figure — see kgRun scaladoc
-    val (nS, secLoS, secHiS) = interleaved(sfDir, 2, 8, multA, rounds = 2,
+    val (attA, scalingA) = measureBlock(sfDir, 2, 8, multA, rounds = 3)
+    val (attB, scalingB) = measureBlock(sfDir, 8, 32, multB, rounds = 2)
+    // staged (production-IO) shape at BOTH pairs — see kgRun scaladoc; the
+    // 8→32 staged block is new in r4 (VERDICT r3 item 3: the production
+    // path's high-core behavior measured, not extrapolated)
+    val (attS, scalingS) = measureBlock(sfDir, 2, 8, multA, rounds = 2,
       staged = true)
+    val (attS2, scalingS2) = measureBlock(sfDir, 8, 32, multB, rounds = 2,
+      staged = true)
+    val thrB = attB.n / attB.secHi
 
-    val (_, scalingA) = scalingJson(2, 8, nA, secLoA, secHiA)
-    val (thrB, scalingB) = scalingJson(8, 32, nB, secLoB, secHiB)
-    val (_, scalingS) = scalingJson(2, 8, nS, secLoS, secHiS)
+    // full-strength host-ceiling controls (kept for continuity with the r3
+    // JSON shape; the per-block ctl_pre/ctl_post above are what certify
+    // each window)
+    val endProbe = Probe(aluOpsPerSec(8), aluOpsPerSec(32),
+      memBwBytesPerSec(8), memBwBytesPerSec(32))
+    val hostCtl = endProbe.json
+    val allCertified = Seq(attA, attB, attS, attS2).forall(_.certified)
 
-    // host-ceiling controls for the 8→32 pair (see the two control scaladocs)
-    val alu8 = aluOpsPerSec(8)
-    val alu32 = aluOpsPerSec(32)
-    val aluEff = alu32 / (4.0 * alu8)
-    val bw8 = memBwBytesPerSec(8)
-    val bw32 = memBwBytesPerSec(32)
-    val bwEff = bw32 / (4.0 * bw8)
-    val hostCtl = f"""{"alu_ops_per_sec_8":$alu8%.0f,"alu_ops_per_sec_32":$alu32%.0f,""" +
-      f""""alu_eff_8_32":$aluEff%.3f,""" +
-      f""""mem_gb_per_sec_8":${bw8 / 1e9}%.1f,"mem_gb_per_sec_32":${bw32 / 1e9}%.1f,""" +
-      f""""mem_bw_eff_8_32":$bwEff%.3f}"""
+    // bucket-cap drop audit at the bench corpus and the bench surface's
+    // params (VERDICT r3 item 9): zero certifies the capped LSH paths
+    // dropped no candidate buckets in the timed queries
+    val (mhDropped, shDropped) = {
+      val s = session(8)
+      try {
+        val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        (operators.Dedup.minhashDroppedBuckets(docs, "doc_id", "text",
+          m = 32, bands = 16).count(),
+          operators.Dedup.simhashDroppedBuckets(docs, "doc_id", "text").count())
+      } finally s.stop()
+    }
+    val audit = s"""{"minhash_dropped_buckets":$mhDropped,""" +
+      s""""simhash_dropped_buckets":$shDropped}"""
 
     // --- per-query timings at local[32] ---
     val s32 = session(32)
@@ -252,19 +339,34 @@ object Bench {
     val fails = failures.reverse.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // the short core every consumer needs: totals + the three scaling
-    // blocks + host controls + failure count
-    val core = f""""metric":"total","value":$total%.3f,"unit":"sec",""" +
+    // a crashed query EXCLUDES itself from `total`, which would otherwise
+    // make the headline shrink (look faster) exactly when things break —
+    // so the headline is INVALIDATED outright when anything failed
+    // (ADVICE r3); the partial sum stays available as total_ok_queries
+    val headline =
+      if (failures.isEmpty) f""""value":$total%.3f"""
+      else f""""value":null,"total_ok_queries":$total%.3f"""
+    // the short core every consumer needs: totals + the four scaling
+    // blocks + per-block window certification + failure count
+    val core = s""""metric":"total",$headline,"unit":"sec",""" +
       f""""triples_per_sec":$thrB%.1f,""" +
       s""""scaling":$scalingA,"scaling_8_32":$scalingB,""" +
-      s""""scaling_staged_2_8":$scalingS,""" +
-      s""""host_ctl":$hostCtl,"n_failed":${failures.size}"""
+      s""""scaling_staged_2_8":$scalingS,"scaling_staged_8_32":$scalingS2,""" +
+      s""""host_ctl":$hostCtl,"windows_certified":$allCertified,""" +
+      s""""audit":$audit,"n_failed":${failures.size}"""
     val jsonFull = s"""{$core,"excluded":$excl,"failures":$fails,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
-    // full line (with the 50+-entry per-query map) to the files the driver
-    // can read whole...
+    // full line to the files the driver can read whole — plus a
+    // round-stamped artifact under bench_runs/ that gets COMMITTED, so a
+    // run's evidence survives the driver overwriting bench_out.json
+    // (VERDICT r3 item 2: the r3 "run 4 / 530.6k" claim lost its artifact
+    // exactly that way)
     try {
       Files.writeString(Paths.get("bench_out.json"), jsonFull)
+      Files.createDirectories(Paths.get("bench_runs"))
+      Files.writeString(
+        Paths.get(f"bench_runs/run_${System.currentTimeMillis / 1000}%d.json"),
+        jsonFull)
       sys.env.get("SPARK_GRAFT_BENCH_OUT")
         .foreach(p => Files.writeString(Paths.get(p), jsonFull))
     } catch { case e: Throwable =>
@@ -273,8 +375,18 @@ object Bench {
     println(jsonFull)
     // ...and a <1KB summary as the FINAL stdout line: rounds 1-2 both had
     // `parsed:null` because the driver's captured tail truncated the >4KB
-    // full line — a sub-1KB last line survives any tail window
-    println(s"""{$core,"sf":"$sfDir","full":"bench_out.json"}""")
+    // full line — a sub-1KB last line survives any tail window. Compact
+    // efficiencies only; the full per-rep + per-block-control detail lives
+    // in the full line / files.
+    val effs = f""""eff_2_8":${attA.efficiency(2, 8)}%.3f,""" +
+      f""""eff_8_32":${attB.efficiency(8, 32)}%.3f,""" +
+      f""""eff_staged_2_8":${attS.efficiency(2, 8)}%.3f,""" +
+      f""""eff_staged_8_32":${attS2.efficiency(8, 32)}%.3f,""" +
+      f""""bw_eff_8_32_ref":${(attB.pre.bwEff + attB.post.bwEff) / 2}%.3f"""
+    println(s"""{"metric":"total",$headline,"unit":"sec",""" +
+      f""""triples_per_sec":$thrB%.1f,$effs,""" +
+      s""""windows_certified":$allCertified,"n_failed":${failures.size},""" +
+      s""""sf":"$sfDir","full":"bench_out.json"}""")
     s32.stop()
   }
 }

@@ -444,13 +444,19 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5)
     }),
+    // the full binary-payload plumbing (synthAssets → typed Dataset →
+    // batched mapPartitions decode) driver-oracle-checked: the fake decode
+    // kernel is restated in plain SQL over the byte values (f0 rounded to
+    // 6 dp per row BEFORE the cross-row avg so double-summation order
+    // can't flip the 6th decimal)
     "mm_features" -> ((s, dir) => {
       import s.implicits._
       val assets = Multimodal.synthAssets(t(s, dir, "documents")).as[Multimodal.Asset]
       Multimodal.extractFeatures(assets).toDF()
         .groupBy(col("modality"))
         .agg(count(lit(1)).as("n"), round(avg(col("n_bytes")), 3).as("avg_bytes"),
-          round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
+          round(avg(round(element_at(col("features"), 1).cast("double"), 6)), 6)
+            .as("avg_f0"))
     }),
 
     // A1-at-scale: HLL approximate distinct (the 10^12-row option SURVEY
@@ -470,6 +476,17 @@ object SparkEntry {
     "dd_minhash_recall" -> ((s, dir) =>
       Dedup.minhashLshTrueJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         m = 32, bands = 16, trueThreshold = 0.5, k = 3)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash-blocking recall vs exact (Dedup.simhashTrueJaccardPairs
+    // scaladoc): 8×8-bit blocks guarantee any pair within hamming ≤ 7
+    // shares a block; the true near-dup pairs sit at hamming ≤ 5, so the
+    // block-bucketed Spark plan must equal the O(n²) exact-Jaccard oracle
+    // (the same oracle as dd_minhash_recall — both recall surfaces are held
+    // to the same exact answer)
+    "dd_simhash_recall" -> ((s, dir) =>
+      Dedup.simhashTrueJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, trueThreshold = 0.5)
         .orderBy("id_a", "id_b")),
 
     // keep-one-per-cluster dedup: CC over the verified near-dup pair graph
@@ -497,6 +514,22 @@ object SparkEntry {
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx.toString)
       Similarity.ivfTopKIndexed(s, idx.toString, "vec_id", "embedding", q, 5,
         nProbe = 16)
+    }),
+
+    // persisted LSH signature index (VERDICT r3 missing #3): signatures
+    // written once partitionBy(lsh_prefix); the driver-checked invariant is
+    // losslessness (full probing == exact top-k, the sim_ivf_indexed
+    // contract); the pruned multi-probe path (partition-pruned plan +
+    // equality with the in-flight lshTopK) is asserted in Round4Spec
+    "sim_lsh_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val idx = java.nio.file.Files.createTempDirectory("graft_lshidx")
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(idx.toFile)
+      Similarity.buildLshIndex(emb, "vec_id", "embedding", idx.toString)
+      Similarity.lshTopKIndexed(s, idx.toString, "vec_id", "embedding", q, 5,
+        probeAll = true)
     }),
 
     // ---- KG pipeline over the SQL-visible documents table: the reference
@@ -541,14 +574,18 @@ object SparkEntry {
         .writeStream
         .option("checkpointLocation", ckpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          // foreachBatch is at-least-once: a retried micro-batch re-runs
+          // with the SAME batchId, so each batch overwrites its own
+          // batchId-keyed subdirectory — idempotent per batch (ADVICE r3);
+          // a plain append would double-count the replayed rows
           Aggregation.perTurn(sources.DocCorpus.linked(batch))
-            .write.mode("append").parquet(out.toString)
+            .write.mode("overwrite").parquet(s"$out/b$batchId")
           ()
         }
         .start()
       q.awaitTermination()
-      s.read.parquet(out.toString)
+      s.read.parquet(s"$out/b*")
         .select(col("turn_idx").cast("long").as("doc_id"), col("source"),
           col("code"), col("cui"), col("concept_name"), col("text"),
           col("total_count"), col("unique_count"),
@@ -832,6 +869,23 @@ object SparkEntry {
        |SELECT surface, cui, sab, code, str, score, rn, (rn = 1) AS selected
        |FROM rk WHERE rn <= 10""".stripMargin
 
+  // the O(n²) exact 3-shingle-Jaccard pair set (oracle-side only; the
+  // Spark plans stay bucket-joined) — ONE text shared by both recall
+  // surfaces (minhash banding, simhash blocking): both candidate paths are
+  // held to the same exact answer
+  private val exactJaccardPairsSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |    for i in range(1, len(w) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3),
+      |pj AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.s, b.s))::DOUBLE /
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pj WHERE j >= 0.5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "kgd_voted" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -844,18 +898,8 @@ object SparkEntry {
     "q33_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |true AS approx_ok FROM events GROUP BY 1""".stripMargin,
-    "dd_minhash_recall" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |    for i in range(1, len(w) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        |  WHERE len(w) >= 3),
-        |pj AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    len(list_intersect(a.s, b.s))::DOUBLE /
-        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pj WHERE j >= 0.5""".stripMargin,
+    "dd_minhash_recall" -> exactJaccardPairsSql,
+    "dd_simhash_recall" -> exactJaccardPairsSql,
     "dd_canonical" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -1115,6 +1159,31 @@ object SparkEntry {
         |      64 + (doc_id % 16) * 32 AS width,
         |      64 + ((doc_id * 7) % 16) * 32 AS height
         |    FROM documents))""".stripMargin,
+    // the fake decode kernel restated from first principles over the byte
+    // values (ASCII corpus ⇒ UTF-8 payload bytes == ascii codes): per doc,
+    // tap0 = Σ over byte positions i ≡ 0 (mod 16) of (i/16 + 1)·byte_i,
+    // f0 = float of ((tap0 mod 2^31)·2654435761 + 1 mod 2^31) / 2^31 · 2 − 1
+    "mm_features" ->
+      """SELECT modality, count(*) AS n, round(avg(n_bytes), 3) AS avg_bytes,
+        |  round(avg(f0), 6) AS avg_f0
+        |FROM (
+        |  SELECT
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    CAST(length(text) AS BIGINT) AS n_bytes,
+        |    round(CAST(CAST(CAST(
+        |      ((CAST(coalesce(list_sum(
+        |          [(i // 16 + 1) * ascii(text[i + 1])
+        |           for i in range(0, length(text)) if i % 16 = 0]), 0) AS BIGINT)
+        |        % 2147483648) * 2654435761 + 1) % 2147483648
+        |      AS DOUBLE) / 2147483648 * 2 - 1 AS FLOAT) AS DOUBLE), 6) AS f0
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
+    "sim_lsh_indexed" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings e ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
     "mm_frames" ->
       """SELECT CAST(doc_id AS BIGINT) AS asset_id,
         |CAST(CASE WHEN doc_id % 3 = 2 THEN ((8 + doc_id % 120) - 1) // 4 + 1

@@ -41,7 +41,13 @@ object GraphSink {
   def committedBuckets(spark: SparkSession, dir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(manifestPath(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(manifestPath(dir)).select("bucket").distinct()
+    // mergeSchema: the manifest schema gained subj_approx_distinct in r3;
+    // without merging, a directory mixing old 4-column and new 5-column
+    // footers resolves to whichever footer parquet picks first — reads must
+    // see the union schema so old and new rows coexist (ADVICE r3)
+    if (fs.exists(p))
+      spark.read.option("mergeSchema", "true").parquet(manifestPath(dir))
+        .select("bucket").distinct()
     else spark.emptyDataFrame.withColumn("bucket", lit(0L)).limit(0).select("bucket")
   }
 
@@ -68,6 +74,27 @@ object GraphSink {
     val doneList = committedBuckets(spark, dir).collect().map(_.getLong(0)).toSeq
     def notDone(c: org.apache.spark.sql.Column) =
       if (doneList.isEmpty) lit(true) else !c.isin(doneList: _*)
+    // Stale-output sweep (ADVICE r3): a crashed prior attempt can leave
+    // files in a NOT-yet-committed bucket; dynamic partition overwrite only
+    // rewrites buckets present in THIS run's output, so a stale bucket that
+    // receives zero rows this run would survive, be counted by the metrics
+    // read-back below, and abort every retry (recorded != written) until
+    // manual cleanup — a permanent wedge. Uncommitted bucket directories
+    // are garbage by the resume contract (no manifest row ⇒ never read),
+    // so delete them up front: the post-write on-disk state of every
+    // not-done bucket is then exactly this run's output. Committed buckets
+    // are never touched. Driver-side FS ops on ≤ nBuckets directories.
+    val triplesDir = new org.apache.hadoop.fs.Path(s"$dir/triples")
+    val fs = triplesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(triplesDir)) {
+      val done = doneList.toSet
+      fs.listStatus(triplesDir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("bucket=") &&
+            !done.contains(name.stripPrefix("bucket=").toLong))
+          fs.delete(st.getPath, true)
+      }
+    }
     val withBucket = triples.withColumn("bucket", bucketCol(nBuckets))
     val restricted = onlyBuckets match {
       case Some(bs) => withBucket.filter(col("bucket").isin(bs: _*))

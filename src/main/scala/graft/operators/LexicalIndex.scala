@@ -32,29 +32,36 @@ object LexicalIndex {
 
   /** L1-L3 served from the persisted index: same output contract as
     * [[Linking.linkBySurface]] (mention_key, surface, candidates, rn,
-    * selected). The distinct surfaces are COLLECTED once (they are
-    * gazetteer-bounded — the same assumption that justifies broadcasting
-    * the rankings back), so the mention stream is scanned exactly twice
-    * (distinct + final join-back, as in the on-the-fly path) and the
-    * scoring side becomes a driver-local relation joined against the
-    * partition-PRUNED postings shards of its query tokens. */
+    * selected). The distinct-surface side is COUNTED first (the counted-
+    * guard discipline of [[Linking.linkFaceted]], VERDICT r3 item 4):
+    * below `maxBroadcastSurfaces` — the dictionary-NER case, surfaces ⊆
+    * gazetteer aliases — the surface relation and the finished rankings are
+    * broadcast; above it (a free-form caller) every join falls back to a
+    * shuffle join, slower but incapable of OOMing the driver or an
+    * executor. Both paths produce identical rows (tested), and BOTH keep
+    * the partition-pruned postings read: the shard ids of the query tokens
+    * are a distributed distinct whose collect is bounded by [[NumShards]],
+    * never by surface cardinality. */
   def linkBySurface(mentions: DataFrame, spark: SparkSession, path: String,
-      topK: Int = 10): DataFrame = {
+      topK: Int = 10, maxBroadcastSurfaces: Long = 100000L): DataFrame = {
     import spark.implicits._
-    val surfaceList = mentions.select(col("surface")).distinct()
-      .as[String].collect().toSeq
-    val qTok = surfaceList.toDF("surface")
+    val surfaces = mentions.select(col("surface")).distinct()
+    val nSurfaces = surfaces.count()
+    val smallQuery = nSurfaces <= maxBroadcastSurfaces
+    val qTok = surfaces
       .select(col("surface"),
         explode(expr("array_distinct(split(lower(surface), '[^a-z0-9]+'))")).as("token"))
       .filter(length(col("token")) > 0)
     val postings0 = spark.read.parquet(s"$path/postings")
     // shard ids of the query tokens, computed with the SAME xxhash64 the
-    // writer used — via a tiny local-relation projection, no cluster pass
+    // writer used; ≤ NumShards values by construction, so the collect is
+    // bounded regardless of how many surfaces the caller feeds
     val shardIds = qTok
       .select(pmod(xxhash64(col("token")), lit(NumShards)).as("shard"))
       .distinct().as[Long].collect().toSeq
     val postings = postings0.filter(col("shard").isin(shardIds: _*))
-    val cand = broadcast(qTok).join(postings, "token")
+    val qSide = if (smallQuery) broadcast(qTok) else qTok
+    val cand = qSide.join(postings, "token")
       .groupBy(col("surface"), col("cui"), col("sab"), col("code"), col("str"))
       .agg(round(sum(col("idf")), 9).as("score"))
     val wTop = Window.partitionBy("surface")
@@ -62,11 +69,12 @@ object LexicalIndex {
     val perSurface = cand.withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= topK)
       .withColumn("selected", col("rn") === 1)
+    val ranked = if (smallQuery) broadcast(perSurface) else perSurface
     mentions
       .withColumn("mention_key",
         xxhash64(col("conv_id"), col("turn_idx"), col("try_index"),
           col("start"), col("end")))
       .select(col("mention_key"), col("surface"))
-      .join(broadcast(perSurface), "surface")
+      .join(ranked, "surface")
   }
 }

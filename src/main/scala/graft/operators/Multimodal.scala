@@ -56,22 +56,26 @@ object Multimodal {
         .otherwise(-1).as("n_frames"))
 
   /** DETERMINISTIC FAKE DECODE — stands in for a real image/audio decoder.
-    * Rolling 64-bit hash over the payload, one tap per feature dim,
-    * mapped into [-1, 1). Replace with a codec call to go real. */
-  private[operators] def fakeDecode(bytes: Array[Byte], dims: Int): Array[Float] = {
-    var h = 1125899906842597L
+    * Per feature dim d: a position-weighted byte sum over the payload's
+    * bytes at positions ≡ d (mod dims), scrambled by a Knuth multiplicative
+    * constant mod 2^31 and mapped into [-1, 1). Order- and byte-sensitive
+    * (a permuted or corrupted payload changes every touched dim), and —
+    * deliberately — restateable in plain SQL over the byte values, so the
+    * whole mapInPandas-shaped plumbing is driver-oracle-checkable end to
+    * end (VERDICT r3 item 7). Replace with a codec call to go real. */
+  private[graft] def fakeDecode(bytes: Array[Byte], dims: Int): Array[Float] = {
     val taps = new Array[Long](dims)
     var i = 0
     while (i < bytes.length) {
-      h = h * 31 + bytes(i)
-      taps(i % dims) ^= h
+      // byte as unsigned, weight = 1 + position within the dim's stride
+      taps(i % dims) += (i / dims + 1).toLong * (bytes(i) & 0xff)
       i += 1
     }
     val out = new Array[Float](dims)
     i = 0
     while (i < dims) {
-      val v = taps(i) * -7046029254386353131L + (i + 1)
-      out(i) = (v.toDouble / Long.MaxValue.toDouble).toFloat
+      val v = ((taps(i) % 2147483648L) * 2654435761L + (i + 1)) % 2147483648L
+      out(i) = (v.toDouble / 2147483648.0 * 2.0 - 1.0).toFloat
       i += 1
     }
     out
