@@ -129,9 +129,16 @@ object Bench {
     }
   }
 
-  private def probe(): Probe =
-    Probe(aluOpsPerSec(8, 100000000L), aluOpsPerSec(32, 100000000L),
-      memBwBytesPerSec(8, 2), memBwBytesPerSec(32, 2))
+  /** Each probe measurement is best-of-2 (max throughput): host steal only
+    * ever SLOWS a measurement, so the max is the stable estimator — the
+    * r4-run-1 protocol took single shots and the short 8-thread probes
+    * were noisy enough (±2×) to flag every block degraded and double the
+    * bench's wall time with spurious re-runs. */
+  private def probe(): Probe = {
+    def best(f: => Double): Double = math.max(f, f)
+    Probe(best(aluOpsPerSec(8, 100000000L)), best(aluOpsPerSec(32, 100000000L)),
+      best(memBwBytesPerSec(8, 2)), best(memBwBytesPerSec(32, 2)))
+  }
 
   /** One measured attempt of a scaling block: probe → interleaved reps →
     * probe. `certified` = the bracketing probes agree within 25% on every
@@ -265,10 +272,13 @@ object Bench {
     // ideal, i.e. the plan itself scales ~1.0 once work dominates.
     val multB = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT_B", "64").toInt
 
-    // global warm-up: JIT + codegen + automaton caches are JVM-wide
+    // global warm-up: JIT + codegen + automaton caches are JVM-wide; the
+    // throwaway bw measurement pages in the 512 MB probe array so the
+    // first real probe doesn't read low on first-touch faults
     val sWarm = session(8)
     kgRun(sWarm, sfDir, multA)
     sWarm.stop()
+    memBwBytesPerSec(8, 1)
 
     val (attA, scalingA) = measureBlock(sfDir, 2, 8, multA, rounds = 3)
     val (attB, scalingB) = measureBlock(sfDir, 8, 32, multB, rounds = 2)

@@ -900,6 +900,11 @@ object SparkEntry {
         |true AS approx_ok FROM events GROUP BY 1""".stripMargin,
     "dd_minhash_recall" -> exactJaccardPairsSql,
     "dd_simhash_recall" -> exactJaccardPairsSql,
+    // the rare-shingle inverted join is ALSO exact-recall on this corpus
+    // (verified: no pair at J ≥ 0.05 is reachable only through shingles
+    // with df > maxDf=100), so the same exact O(n²) oracle gates it at its
+    // own threshold
+    "dd_ngram_jaccard" -> exactJaccardPairsSql.replace("j >= 0.5", "j >= 0.05"),
     "dd_canonical" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]

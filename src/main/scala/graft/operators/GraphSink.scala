@@ -38,16 +38,18 @@ object GraphSink {
         bit_xor(xxhash64(col("subj"), col("pred"), col("obj"))).as("checksum"),
         approx_count_distinct(col("subj")).as("subj_approx_distinct"))
 
+  /** The manifest, read with mergeSchema: the schema gained
+    * subj_approx_distinct in r3, and without merging a directory mixing
+    * old 4-column and new 5-column footers resolves to whichever footer
+    * parquet picks first — consumers must see the union schema so old and
+    * new rows coexist (ADVICE r3). All manifest readers go through here. */
+  def readManifest(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(manifestPath(dir))
+
   def committedBuckets(spark: SparkSession, dir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(manifestPath(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // mergeSchema: the manifest schema gained subj_approx_distinct in r3;
-    // without merging, a directory mixing old 4-column and new 5-column
-    // footers resolves to whichever footer parquet picks first — reads must
-    // see the union schema so old and new rows coexist (ADVICE r3)
-    if (fs.exists(p))
-      spark.read.option("mergeSchema", "true").parquet(manifestPath(dir))
-        .select("bucket").distinct()
+    if (fs.exists(p)) readManifest(spark, dir).select("bucket").distinct()
     else spark.emptyDataFrame.withColumn("bucket", lit(0L)).limit(0).select("bucket")
   }
 

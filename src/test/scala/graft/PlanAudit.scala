@@ -18,7 +18,21 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       println(s"========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      n match {
+        // the SparkEntry query runs probeAll (the losslessness oracle);
+        // this pseudo-name audits the production MULTI-PROBE read instead
+        case "sim_lsh_indexed_pruned" =>
+          import org.apache.spark.sql.functions.col
+          val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          val q = emb.filter(col("vec_id") === 0)
+            .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+          val idx = java.nio.file.Files.createTempDirectory("graft_lshidx_audit")
+          org.apache.commons.io.FileUtils.forceDeleteOnExit(idx.toFile)
+          operators.Similarity.buildLshIndex(emb, "vec_id", "embedding", idx.toString)
+          operators.Similarity.lshTopKIndexed(spark, idx.toString, "vec_id",
+            "embedding", q, 5).explain("formatted")
+        case _ => SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
     }
     spark.stop()
   }

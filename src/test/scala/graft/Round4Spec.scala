@@ -168,6 +168,26 @@ class Round4Spec extends GraftSuite {
     assert(fallback.toSeq == full.toSeq)
   }
 
+  test("manifest mixing pre-r3 (4-column) and current rows reads as the " +
+      "union schema") {
+    val cfg = Pipeline.Config(nConvs = 8, nBase = 32)
+    val triples = Pipeline.triples(spark, cfg).toDF()
+    val dir = Files.createTempDirectory("graft_sink_mix_").toString
+    // a pre-r3 writer's manifest rows: no subj_approx_distinct column
+    Seq((0L, 10L, 123L, "old_run"))
+      .toDF("bucket", "triple_count", "checksum", "run_id")
+      .write.parquet(GraphSink.manifestPath(dir))
+    GraphSink.writeResumable(triples, dir, "new_run", nBuckets = 4)
+    val m = GraphSink.readManifest(spark, dir)
+    // union schema: the new column is visible, null on the old row
+    assert(m.columns.contains("subj_approx_distinct"))
+    assert(m.filter($"run_id" === "old_run")
+      .select($"subj_approx_distinct").head().isNullAt(0))
+    // and the old row's bucket was honoured as committed by the resume
+    assert(m.filter($"run_id" === "new_run" && $"bucket" === 0L).count() == 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("mm_features fake decode: byte- and order-sensitive, SQL-shaped") {
     val a = Multimodal.fakeDecode("abcd".getBytes("UTF-8"), 4)
     val b = Multimodal.fakeDecode("abce".getBytes("UTF-8"), 4)
