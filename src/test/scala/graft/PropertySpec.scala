@@ -109,6 +109,13 @@ class PropertySpec extends GraftSuite {
     }.toDF("src", "dst")
     val got = ConnectedComponents.run(allEdges)
       .as[(Long, Long)].collect().toMap
+    // the star-contraction fallback must reach the SAME fixpoint on the
+    // same composite graph (it is the at-scale path for high diameters —
+    // Round4Spec covers the auto-switch; this covers answer equality on
+    // 40 random topologies in one job)
+    val gotStar = ConnectedComponents.runStarContraction(allEdges)
+      .as[(Long, Long)].collect().toMap
+    assert(gotStar == got)
     graphs.foreach { case (g, nNodes, edges) =>
       val parent = Array.tabulate(nNodes)(identity)
       def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
