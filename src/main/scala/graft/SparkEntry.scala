@@ -438,11 +438,15 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, bits = 4)
         .orderBy("id_a", "id_b")),
+    // held to the exact answer at FULL probing (the sim_ivf_indexed /
+    // sim_lsh_indexed contract: assignment + rerank lose nothing); the
+    // partial-probe pruned path is subset- and plan-asserted in Round3Spec
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5, nCentroids = 16,
+        nProbe = 16)
     }),
     // the full binary-payload plumbing (synthAssets → typed Dataset →
     // batched mapPartitions decode) driver-oracle-checked: the fake decode
@@ -1185,6 +1189,11 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY 1""".stripMargin,
     "sim_lsh_indexed" ->
+      """SELECT e.vec_id,
+        |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings e ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "sim_ivf_topk" ->
       """SELECT e.vec_id,
         |round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
