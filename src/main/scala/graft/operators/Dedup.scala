@@ -305,6 +305,12 @@ object Dedup {
   def simhashTrueJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, trueThreshold: Double = 0.5, nBlocks: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
+    // NOTE: no hamming pre-filter before the verify — tempting (8-byte
+    // signatures vs ~100-element shingle arrays), but blocking also
+    // catches true pairs BEYOND the guaranteed hamming ≤ nBlocks−1 ball by
+    // bucket luck, and the recall gate is against pure Jaccard; a
+    // pre-filter measurably drops such a pair (sf0.001: J=0.889 at
+    // hamming 8) and turns a recall surface into a recall leak.
     val blocked = blockedSimhash(df, idCol, textCol, nBlocks)
     verifyTrueJaccard(
       bucketPairIds(capBuckets(blocked, Seq("block", "bkey"), maxBucket),

