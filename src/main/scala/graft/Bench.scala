@@ -302,17 +302,24 @@ object Bench {
     // bucket-cap drop audit at the bench corpus and the bench surface's
     // params (VERDICT r3 item 9): zero certifies the capped LSH paths
     // dropped no candidate buckets in the timed queries
-    val (mhDropped, shDropped) = {
+    val (mhDropped, shDropped, shRecallDropped) = {
       val s = session(8)
       try {
         val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        // audit each capped surface at ITS OWN blocking: dd_simhash blocks
+        // 4×16-bit, dd_simhash_recall blocks 8×8-bit — the two bucketings
+        // drop independently
         (operators.Dedup.minhashDroppedBuckets(docs, "doc_id", "text",
           m = 32, bands = 16).count(),
-          operators.Dedup.simhashDroppedBuckets(docs, "doc_id", "text").count())
+          operators.Dedup.simhashDroppedBuckets(docs, "doc_id", "text",
+            nBlocks = 4).count(),
+          operators.Dedup.simhashDroppedBuckets(docs, "doc_id", "text",
+            nBlocks = 8).count())
       } finally s.stop()
     }
     val audit = s"""{"minhash_dropped_buckets":$mhDropped,""" +
-      s""""simhash_dropped_buckets":$shDropped}"""
+      s""""simhash_dropped_buckets":$shDropped,""" +
+      s""""simhash_recall_dropped_buckets":$shRecallDropped}"""
 
     // --- per-query timings at local[32] ---
     val s32 = session(32)

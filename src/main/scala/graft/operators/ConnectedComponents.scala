@@ -156,6 +156,19 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"star-contraction CC did not converge in $maxIter rounds")
+    // The per-round signature is a 64-bit hash — a collision between two
+    // DIFFERENT consecutive edge sets would declare a false fixpoint and
+    // silently emit wrong components. Confirm the fixpoint EXACTLY once:
+    // one more round must reproduce the edge set (symmetric difference
+    // empty). One extra pair of set-op jobs at convergence time only —
+    // the per-round loop stays one-aggregate cheap.
+    if (!e.isEmpty) {
+      val again = smallStar(largeStar(e))
+      val diff = again.exceptAll(e).limit(1).count() +
+        e.exceptAll(again).limit(1).count()
+      require(diff == 0L,
+        "star-contraction signature collision: declared fixpoint is not one")
+    }
     // fixpoint e is a star forest: (v, root) for every non-root v; roots
     // and isolated nodes map to themselves
     nodes.join(e.select(col("src").as("id"), col("dst").as("root")), Seq("id"), "left")

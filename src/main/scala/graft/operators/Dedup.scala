@@ -264,11 +264,15 @@ object Dedup {
         .as(Seq("block", "bkey")))
   }
 
-  /** Buckets [[simhashPairs]] would skip at this `maxBucket`: (block, bkey,
-    * bucket_n). Zero rows ⇒ the cap dropped no candidate pairs. */
+  /** Buckets [[simhashPairs]] (nBlocks = 4) or [[simhashTrueJaccardPairs]]
+    * (nBlocks = 8) would skip at this `maxBucket`: (block, bkey, bucket_n).
+    * Zero rows ⇒ the cap dropped no candidate pairs. Audit with the SAME
+    * nBlocks as the surface being certified — the two blockings bucket
+    * differently. */
   def simhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
-      maxBucket: Int = 1000): DataFrame =
-    droppedBuckets(blockedSimhash(df, idCol, textCol), Seq("block", "bkey"), maxBucket)
+      maxBucket: Int = 1000, nBlocks: Int = 4): DataFrame =
+    droppedBuckets(blockedSimhash(df, idCol, textCol, nBlocks),
+      Seq("block", "bkey"), maxBucket)
 
   /** SimHash near-dup pairs: block on 4×16-bit sub-keys (a pair within
     * hamming distance ≤ 3 of 64 bits must agree exactly on ≥1 of 4 blocks),
@@ -293,15 +297,19 @@ object Dedup {
     * driver-checkable RECALL surface of the simhash blocking path (VERDICT
     * r3 item 6; the analogue of [[minhashLshTrueJaccardPairs]]): the Spark
     * plan stays block-bucketed (never all-pairs) while a plain-SQL O(n²)
-    * exact-Jaccard oracle gates recall end to end. `nBlocks` = 8 here
-    * because recall must be CERTAIN, not probable: 8 blocks of 8 bits
-    * guarantee (pigeonhole) that any pair within hamming ≤ 7 shares a
-    * block, and on near-dup corpora the pairs at trueThreshold ≥ 0.5 sit
-    * at hamming ≤ 5 (measured; near-identical word multisets ⇒ near-equal
-    * signatures) — the 4×16 default of [[simhashPairs]] only guarantees
-    * hamming ≤ 3 and measurably drops true pairs at hamming 4-5. Narrower
-    * 8-bit keys bucket more loosely, so this surface trades pruning for a
-    * provable guarantee; [[simhashPairs]] remains the at-scale shape. */
+    * exact-Jaccard oracle gates recall end to end. `nBlocks` = 8 because
+    * 8 blocks of 8 bits GUARANTEE (pigeonhole) that any pair within
+    * hamming ≤ 7 shares a block — the 4×16 default of [[simhashPairs]]
+    * only guarantees hamming ≤ 3 and measurably drops true pairs at
+    * hamming 4-5. Honest recall statement: CERTAIN within the hamming ≤
+    * nBlocks−1 ball (the gate corpus's true pairs sit at hamming ≤ 5,
+    * margin 2); a true pair BEYOND the ball is recalled only when it
+    * shares a block by luck (observed: sf0.001's J=0.889 pair at hamming
+    * 8 does), and the shared `maxBucket` cap over 2^8-value keys also
+    * bites earlier as the corpus grows — audit with
+    * [[simhashDroppedBuckets]](nBlocks = 8). Narrower keys trade pruning
+    * for the wider guarantee; [[simhashPairs]] remains the at-scale
+    * shape. */
   def simhashTrueJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, trueThreshold: Double = 0.5, nBlocks: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
@@ -324,8 +332,14 @@ object Dedup {
     * full shingle sets. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      graft.functions.SignatureExprs.shingleHashes(col(textCol), k).as("sh"))
+    // docs shorter than k words carry no full k-shingle and never pair —
+    // "near-dup" is undefined below one shingle, the signature kernel's
+    // short-doc padding is for LSH bucketing only, and the exact SQL
+    // oracle excludes them the same way (the other two true-Jaccard
+    // surfaces already filtered; this one silently paired padded shorties)
+    val sh = df.filter(size(words(col(textCol))) >= k)
+      .select(col(idCol).as("id"),
+        graft.functions.SignatureExprs.shingleHashes(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
     // candidate ids only through the join+distinct — shingle ARRAYS are
     // re-attached afterwards so the dedup shuffle moves 16-byte pairs, not

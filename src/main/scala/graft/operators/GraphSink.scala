@@ -85,16 +85,22 @@ object GraphSink {
     // are garbage by the resume contract (no manifest row ⇒ never read),
     // so delete them up front: the post-write on-disk state of every
     // not-done bucket is then exactly this run's output. Committed buckets
-    // are never touched. Driver-side FS ops on ≤ nBuckets directories.
+    // are never touched, and an `onlyBuckets`-restricted run sweeps ONLY
+    // its own bucket range — concurrent writers on disjoint onlyBuckets
+    // stay safe (an unrestricted sweep would destroy a sibling's in-flight
+    // output). Driver-side FS ops on ≤ nBuckets directories.
     val triplesDir = new org.apache.hadoop.fs.Path(s"$dir/triples")
     val fs = triplesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(triplesDir)) {
       val done = doneList.toSet
+      val inScope: Long => Boolean =
+        onlyBuckets.map(bs => bs.toSet.contains _).getOrElse((_: Long) => true)
       fs.listStatus(triplesDir).foreach { st =>
         val name = st.getPath.getName
-        if (name.startsWith("bucket=") &&
-            !done.contains(name.stripPrefix("bucket=").toLong))
-          fs.delete(st.getPath, true)
+        if (name.startsWith("bucket=")) {
+          val b = name.stripPrefix("bucket=").toLong
+          if (!done.contains(b) && inScope(b)) fs.delete(st.getPath, true)
+        }
       }
     }
     val withBucket = triples.withColumn("bucket", bucketCol(nBuckets))

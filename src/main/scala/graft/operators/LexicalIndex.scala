@@ -44,22 +44,25 @@ object LexicalIndex {
     * never by surface cardinality. */
   def linkBySurface(mentions: DataFrame, spark: SparkSession, path: String,
       topK: Int = 10, maxBroadcastSurfaces: Long = 100000L): DataFrame = {
-    import spark.implicits._
     val surfaces = mentions.select(col("surface")).distinct()
-    val nSurfaces = surfaces.count()
-    val smallQuery = nSurfaces <= maxBroadcastSurfaces
     val qTok = surfaces
       .select(col("surface"),
         explode(expr("array_distinct(split(lower(surface), '[^a-z0-9]+'))")).as("token"))
       .filter(length(col("token")) > 0)
-    val postings0 = spark.read.parquet(s"$path/postings")
-    // shard ids of the query tokens, computed with the SAME xxhash64 the
-    // writer used; ≤ NumShards values by construction, so the collect is
-    // bounded regardless of how many surfaces the caller feeds
-    val shardIds = qTok
-      .select(pmod(xxhash64(col("token")), lit(NumShards)).as("shard"))
-      .distinct().as[Long].collect().toSeq
-    val postings = postings0.filter(col("shard").isin(shardIds: _*))
+    // ONE pre-pass serves both the guard and the pruning: the distinct-
+    // surface count (guard) and the shard ids of the query tokens (pruned
+    // read; computed with the SAME xxhash64 the writer used, collect_set
+    // bounded by NumShards) come out of a single aggregate, so the mention
+    // stream is scanned three times total (guard/shard pass + scoring join
+    // + final join-back), not four.
+    val pre = qTok.agg(
+      countDistinct(col("surface")).as("n"),
+      collect_set(pmod(xxhash64(col("token")), lit(NumShards))).as("shards"))
+      .head()
+    val smallQuery = pre.getLong(0) <= maxBroadcastSurfaces
+    val shardIds = pre.getSeq[Long](1)
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("shard").isin(shardIds: _*))
     val qSide = if (smallQuery) broadcast(qTok) else qTok
     val cand = qSide.join(postings, "token")
       .groupBy(col("surface"), col("cui"), col("sab"), col("code"), col("str"))

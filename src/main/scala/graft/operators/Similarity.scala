@@ -97,10 +97,15 @@ object Similarity {
     * output either way (equality-tested). */
   private[graft] def sampleCentroids(emb: DataFrame, idCol: String,
       vecCol: String, nCentroids: Int, sliceShift: Int = 10): Array[(Long, Seq[Double])] = {
+    require(sliceShift >= 0 && sliceShift < 64, s"sliceShift 0..63, got $sliceShift")
     val base = emb.select(col(idCol).cast("long"), col(vecCol))
     def topN(df: DataFrame) =
       df.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCentroids).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+    // sliceShift = 0 means "whole hash space" — skip the pre-filter
+    // outright (Scala's shift is mod 64, so 1L << 64 would silently wrap
+    // the bound to a near-empty slice and waste a full-scan-plus-fallback)
+    if (sliceShift == 0) return topN(base)
     // signed-order slice bound: Long.MinValue + 2^(64 - sliceShift)
     val bound = Long.MinValue + (1L << (64 - sliceShift))
     val sliced = topN(base.filter(xxhash64(col(idCol)) < lit(bound)))

@@ -34,6 +34,37 @@ class Round4Spec extends GraftSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("onlyBuckets-restricted run sweeps ONLY its own stale buckets " +
+      "(disjoint concurrent writers stay safe)") {
+    val cfg = Pipeline.Config(nConvs = 12, nBase = 32)
+    val triples = Pipeline.triples(spark, cfg).toDF()
+    val dir = Files.createTempDirectory("graft_sink_scope_").toString
+    // a sibling writer's in-flight (uncommitted) output in bucket 99 …
+    triples.limit(5).withColumn("bucket", lit(99L))
+      .write.partitionBy("bucket").mode("append").parquet(s"$dir/triples")
+    // … must survive a run restricted to other buckets
+    GraphSink.writeResumable(triples, dir, "scoped", nBuckets = 4,
+      onlyBuckets = Some(Seq(0L, 1L)))
+    assert(GraphSink.readTriples(spark, dir).filter($"bucket" === 99L).count() == 5)
+    // an UNRESTRICTED run then sweeps it (the wedge fix)
+    GraphSink.writeResumable(triples, dir, "full", nBuckets = 4)
+    assert(GraphSink.readTriples(spark, dir).filter($"bucket" === 99L).count() == 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("ngramJaccardPairs never pairs docs shorter than one full shingle") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"),
+      (3L, "alpha beta gamma delta"), (4L, "alpha beta gamma epsilon"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.1, maxDf = 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // the identical 2-word docs must NOT pair (padded short shingles are
+    // for LSH bucketing, not a Jaccard surface — and the exact SQL oracle
+    // excludes sub-k docs); the real 3-shingle pair still does
+    assert(pairs == Set((3L, 4L)))
+  }
+
   test("indexed linkBySurface over the surface cap: no driver collect of " +
       "surfaces, identical rows, shard pruning intact") {
     val gaz = Seq(
