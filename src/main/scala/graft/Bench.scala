@@ -254,6 +254,15 @@ object Bench {
     "dd_embed_neardup" ->
       "O(n^2) cartesian oracle baseline; bench surface is dd_embed_neardup_lsh")
 
+  /** Headline fragment of the bench JSON. A crashed query EXCLUDES itself
+    * from `total`, which would otherwise make the headline SHRINK (look
+    * faster) exactly when things break — so any failure INVALIDATES the
+    * headline outright (`value:null`, ADVICE r3); the partial sum stays
+    * available as `total_ok_queries` for diagnostics only. */
+  private[graft] def headlineJson(nFailed: Int, total: Double): String =
+    if (nFailed == 0) f""""value":$total%.3f"""
+    else f""""value":null,"total_ok_queries":$total%.3f"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Corpus multiples sized so the LOW-core run takes >60s: scaling
@@ -356,13 +365,7 @@ object Bench {
     val fails = failures.reverse.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // a crashed query EXCLUDES itself from `total`, which would otherwise
-    // make the headline shrink (look faster) exactly when things break —
-    // so the headline is INVALIDATED outright when anything failed
-    // (ADVICE r3); the partial sum stays available as total_ok_queries
-    val headline =
-      if (failures.isEmpty) f""""value":$total%.3f"""
-      else f""""value":null,"total_ok_queries":$total%.3f"""
+    val headline = headlineJson(failures.size, total)
     // the short core every consumer needs: totals + the four scaling
     // blocks + per-block window certification + failure count
     val core = s""""metric":"total",$headline,"unit":"sec",""" +

@@ -249,6 +249,13 @@ class Round4Spec extends GraftSuite {
     assert(!m1codes.contains("300") && m1codes.contains("400"))
   }
 
+  test("bench headline: any failure nulls value instead of shrinking it") {
+    assert(Bench.headlineJson(0, 12.3456) == "\"value\":12.346")
+    val failed = Bench.headlineJson(2, 9.9)
+    assert(failed.contains("\"value\":null") &&
+      failed.contains("\"total_ok_queries\":9.900"))
+  }
+
   test("mm_features fake decode: byte- and order-sensitive, SQL-shaped") {
     val a = Multimodal.fakeDecode("abcd".getBytes("UTF-8"), 4)
     val b = Multimodal.fakeDecode("abce".getBytes("UTF-8"), 4)
