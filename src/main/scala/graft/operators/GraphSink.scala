@@ -97,9 +97,13 @@ object GraphSink {
         onlyBuckets.map(bs => bs.toSet.contains _).getOrElse((_: Long) => true)
       fs.listStatus(triplesDir).foreach { st =>
         val name = st.getPath.getName
+        // unparseable bucket dirs (HIVE_DEFAULT_PARTITION, foreign debris)
+        // are skipped, not crashed on — they are outside the resume
+        // contract either way (never written by bucketCol, never read back)
         if (name.startsWith("bucket=")) {
-          val b = name.stripPrefix("bucket=").toLong
-          if (!done.contains(b) && inScope(b)) fs.delete(st.getPath, true)
+          scala.util.Try(name.stripPrefix("bucket=").toLong).foreach { b =>
+            if (!done.contains(b) && inScope(b)) fs.delete(st.getPath, true)
+          }
         }
       }
     }

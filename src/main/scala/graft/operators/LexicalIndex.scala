@@ -50,11 +50,14 @@ object LexicalIndex {
         explode(expr("array_distinct(split(lower(surface), '[^a-z0-9]+'))")).as("token"))
       .filter(length(col("token")) > 0)
     // ONE pre-pass serves both the guard and the pruning: the distinct-
-    // surface count (guard) and the shard ids of the query tokens (pruned
-    // read; computed with the SAME xxhash64 the writer used, collect_set
-    // bounded by NumShards) come out of a single aggregate, so the mention
-    // stream is scanned three times total (guard/shard pass + scoring join
-    // + final join-back), not four.
+    // TOKENIZED-surface count (guard; ADVICE r4 — surfaces with no [a-z0-9]
+    // token never reach qTok or perSurface, so they are exactly the rows
+    // the broadcast never carries and the guard correctly excludes them)
+    // and the shard ids of the query tokens (pruned read; computed with the
+    // SAME xxhash64 the writer used, collect_set bounded by NumShards) come
+    // out of a single aggregate, so the mention stream is scanned three
+    // times total (guard/shard pass + scoring join + final join-back), not
+    // four.
     val pre = qTok.agg(
       countDistinct(col("surface")).as("n"),
       collect_set(pmod(xxhash64(col("token")), lit(NumShards))).as("shards"))

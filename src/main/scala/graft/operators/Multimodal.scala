@@ -67,14 +67,20 @@ object Multimodal {
     val taps = new Array[Long](dims)
     var i = 0
     while (i < bytes.length) {
-      // byte as unsigned, weight = 1 + position within the dim's stride
-      taps(i % dims) += (i / dims + 1).toLong * (bytes(i) & 0xff)
+      // byte as unsigned, weight = 1 + position within the dim's stride.
+      // Reduced mod 2^31 PER STEP (ADVICE r4): every term is nonnegative, so
+      // the running floorMod equals the true sum mod 2^31 — bit-identical to
+      // the DuckDB oracle's unbounded list_sum % 2^31 — while a raw signed
+      // Long sum could overflow negative on a multi-GB payload and silently
+      // break the SQL-parity contract.
+      taps(i % dims) = Math.floorMod(
+        taps(i % dims) + (i / dims + 1).toLong * (bytes(i) & 0xff), 2147483648L)
       i += 1
     }
     val out = new Array[Float](dims)
     i = 0
     while (i < dims) {
-      val v = ((taps(i) % 2147483648L) * 2654435761L + (i + 1)) % 2147483648L
+      val v = (taps(i) * 2654435761L + (i + 1)) % 2147483648L
       out(i) = (v.toDouble / 2147483648.0 * 2.0 - 1.0).toFloat
       i += 1
     }
