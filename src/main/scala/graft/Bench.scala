@@ -21,7 +21,10 @@ import org.apache.spark.sql.SparkSession
   * block whose bracketing probes disagree by > 25% — a host patch opened
   * or closed mid-window — is re-run once with both attempts kept in the
   * JSON. Both the pure-DAG and staged (production-IO) shapes are measured
-  * at both core pairs.
+  * at both core pairs. Since r5 the per-query block is certified the same
+  * way (bracketing probes, best-of-2 reps, re-run-once-keep-both), and the
+  * staged blocks carry a phase decomposition + noop compute control so the
+  * single-disk Amdahl fraction is measured, not narrated.
   */
 object Bench {
 
@@ -59,23 +62,57 @@ object Bench {
     * with executors, so the pure-DAG pair is the honest N-vs-4N proxy;
     * the staged pair is reported alongside for transparency. */
   private def kgRun(spark: SparkSession, sfDir: String, mult: Int,
-      staged: Boolean = false): (Long, Double) = {
+      staged: Boolean = false): (Long, Double, Seq[Double]) = {
     val base = SparkEntry.cfgOf(sfDir)
     val cfg = base.copy(nConvs = base.nConvs * mult)
-    val stage = if (staged)
-      Some(java.nio.file.Files.createTempDirectory("graft_bench_stage"))
-    else None
     val t0 = System.nanoTime()
-    val n = stage match {
-      case Some(dir) => Pipeline.triplesStaged(spark, cfg, dir.toString).count()
-      case None      => Pipeline.triples(spark, cfg).count()
+    def mark(prev: Long): (Long, Double) = {
+      val now = System.nanoTime(); (now, (now - prev) / 1e9)
     }
+    val (n, phases) =
+      if (!staged) (Pipeline.triples(spark, cfg).count(), Seq.empty[Double])
+      else {
+        // staged shape decomposed into its three phases (VERDICT r4
+        // missing #2 — the Amdahl claim must be arithmetic, not narrative):
+        //   w1 = extraction compute + the dominant parquet write,
+        //   w2 = read linked + per-turn agg + small write,
+        //   c  = read turn_agg + triple branches + count.
+        // The per-side noop control (measured once per block side in
+        // [[interleaved]]) is w1's DAG with zero bytes written, so
+        // w1 − noop is the MEASURED disk-write seconds at that core count.
+        val dir = java.nio.file.Files.createTempDirectory("graft_bench_stage")
+        try {
+          Pipeline.writeLinkedStage(spark, cfg, dir.toString)
+          val (m1, w1) = mark(t0)
+          Pipeline.writeTurnAggStage(spark, cfg, dir.toString)
+          val (m2, w2) = mark(m1)
+          val nn = Pipeline.triplesFromStage(spark, cfg, dir.toString).count()
+          val (_, c) = mark(m2)
+          (nn, Seq(w1, w2, c))
+        } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      }
     val sec = (System.nanoTime() - t0) / 1e9
     // drop this run's persisted intermediates so repeats don't accumulate
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    stage.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(d.toFile))
-    (n, sec)
+    (n, sec, phases)
+  }
+
+  /** Compute-only control of the staged shape's dominant phase: the same
+    * extraction+linking DAG driven into the `noop` sink. */
+  private def noopRun(spark: SparkSession, sfDir: String, mult: Int): Double = {
+    val base = SparkEntry.cfgOf(sfDir)
+    val t0 = System.nanoTime()
+    Pipeline.linkedStageNoop(spark, base.copy(nConvs = base.nConvs * mult))
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One measured side of a scaling block: per-rep seconds, per-rep staged
+    * phase decompositions (empty for the pure shape), and the side's
+    * compute-only noop control (staged blocks only). */
+  private final case class Side(reps: Seq[Double], phases: Seq[Seq[Double]],
+      noop: Option[Double]) {
+    def best: Double = reps.min
   }
 
   /** Host interference on this shared VM arrives in multi-minute windows
@@ -87,20 +124,26 @@ object Bench {
     * (VERDICT r3 item 1a: the artifact must be able to show "both reps
     * degraded", not just the survivor). */
   private def interleaved(sfDir: String, loCores: Int, hiCores: Int,
-      mult: Int, rounds: Int, staged: Boolean = false): (Long, Seq[Double], Seq[Double]) = {
+      mult: Int, rounds: Int, staged: Boolean = false): (Long, Side, Side) = {
     var n = 0L
-    var lo = List.empty[Double]
-    var hi = List.empty[Double]
-    (1 to rounds).foreach { _ =>
+    var lo = Side(Nil, Nil, None)
+    var hi = Side(Nil, Nil, None)
+    (1 to rounds).foreach { round =>
       val sLo = session(loCores)
-      val (nn, tLo) = kgRun(sLo, sfDir, mult, staged)
+      // the noop control runs ONCE per side, inside the first round's
+      // session so it shares the reps' window as closely as possible
+      if (staged && round == 1)
+        lo = lo.copy(noop = Some(noopRun(sLo, sfDir, mult)))
+      val (nn, tLo, phLo) = kgRun(sLo, sfDir, mult, staged)
       sLo.stop()
       val sHi = session(hiCores)
-      val (_, tHi) = kgRun(sHi, sfDir, mult, staged)
+      if (staged && round == 1)
+        hi = hi.copy(noop = Some(noopRun(sHi, sfDir, mult)))
+      val (_, tHi, phHi) = kgRun(sHi, sfDir, mult, staged)
       sHi.stop()
       n = nn
-      lo :+= tLo
-      hi :+= tHi
+      lo = lo.copy(reps = lo.reps :+ tLo, phases = lo.phases ++ Seq(phLo).filter(_.nonEmpty))
+      hi = hi.copy(reps = hi.reps :+ tHi, phases = hi.phases ++ Seq(phHi).filter(_.nonEmpty))
     }
     (n, lo, hi)
   }
@@ -147,10 +190,10 @@ object Bench {
   /** One measured attempt of a scaling block: probe → interleaved reps →
     * probe. `certified` = the bracketing probes agree within 25% on every
     * absolute throughput, i.e. no host patch opened or closed mid-block. */
-  private final case class Attempt(n: Long, lo: Seq[Double], hi: Seq[Double],
+  private final case class Attempt(n: Long, lo: Side, hi: Side,
       pre: Probe, post: Probe) {
-    def secLo: Double = lo.min
-    def secHi: Double = hi.min
+    def secLo: Double = lo.best
+    def secHi: Double = hi.best
     def disagreement: Double = pre.disagreement(post)
     def certified: Boolean = disagreement <= 0.25
     def json(loCores: Int, hiCores: Int): String = {
@@ -158,13 +201,30 @@ object Bench {
       val thrHi = n / secHi
       val eff = thrHi / ((hiCores.toDouble / loCores) * thrLo)
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+      // staged-shape decomposition (VERDICT r4 missing #2): per-rep phase
+      // triples [w1, w2, consume], per-side noop compute controls, and the
+      // derived disk-write seconds io_write = best(w1) − noop — the
+      // arithmetic form of the single-disk Amdahl claim (a ~core-count-
+      // independent io_write against a noop that scales like the pure DAG)
+      val staged = (lo.noop, hi.noop) match {
+        case (Some(nLo), Some(nHi)) if lo.phases.nonEmpty && hi.phases.nonEmpty =>
+          val w1Lo = lo.phases.map(_.head).min
+          val w1Hi = hi.phases.map(_.head).min
+          val noopEff = (n / nHi) / ((hiCores.toDouble / loCores) * (n / nLo))
+          s""","phases_lo":${lo.phases.map(arr).mkString("[", ",", "]")}""" +
+            s""","phases_hi":${hi.phases.map(arr).mkString("[", ",", "]")}""" +
+            f""","ctl_noop_sec_lo":$nLo%.3f,"ctl_noop_sec_hi":$nHi%.3f""" +
+            f""","io_write_sec_lo":${w1Lo - nLo}%.3f,"io_write_sec_hi":${w1Hi - nHi}%.3f""" +
+            f""","compute_eff":$noopEff%.3f"""
+        case _ => ""
+      }
       f"""{"cores_lo":$loCores,"cores_hi":$hiCores,"triples":$n,""" +
         f""""sec_lo":$secLo%.3f,"sec_hi":$secHi%.3f,""" +
-        s""""sec_lo_reps":${arr(lo)},"sec_hi_reps":${arr(hi)},""" +
+        s""""sec_lo_reps":${arr(lo.reps)},"sec_hi_reps":${arr(hi.reps)},""" +
         f""""triples_per_sec_lo":$thrLo%.1f,"triples_per_sec_hi":$thrHi%.1f,""" +
         f""""efficiency":$eff%.3f,""" +
         s""""ctl_pre":${pre.json},"ctl_post":${post.json},""" +
-        f""""ctl_disagreement":$disagreement%.3f,"window_certified":$certified}"""
+        f""""ctl_disagreement":$disagreement%.3f,"window_certified":$certified$staged}"""
     }
     def efficiency(loCores: Int, hiCores: Int): Double =
       (n / secHi) / ((hiCores.toDouble / loCores) * (n / secLo))
@@ -267,6 +327,60 @@ object Bench {
     if (nFailed == 0) f""""value":$total%.3f"""
     else f""""value":null,"total_ok_queries":$total%.3f"""
 
+  /** One attempt of the per-query timing block: probe → every query
+    * best-of-2 → probe. A query that fails on ANY rep lands in `failures`
+    * and is excluded from the timed results (a partial elapsed time of a
+    * crash is not a timing, and letting it into `total` would make
+    * round-over-round comparisons crash-shaped instead of
+    * performance-shaped). */
+  private final case class QueryAttempt(results: Seq[(String, Seq[Double])],
+      failures: List[(String, String)], pre: Probe, post: Probe) {
+    def disagreement: Double = pre.disagreement(post)
+    def certified: Boolean = disagreement <= 0.25
+    /** Compact form for the discarded-attempt slot: per-query best times +
+      * the probes that flagged the window. */
+    def compactJson: String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v.min}%.3f" }
+        .mkString("{", ",", "}")
+      f"""{"queries":$qs,"ctl_pre":${pre.json},"ctl_post":${post.json},""" +
+        f""""ctl_disagreement":$disagreement%.3f,"n_failed":${failures.size}}"""
+    }
+  }
+
+  private def queryAttempt(sfDir: String, reps: Int = 2): QueryAttempt = {
+    val pre = probe()
+    val s32 = session(32)
+    var failures = List.empty[(String, String)]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => oracleOnly.contains(name) }
+      .flatMap { case (name, fn) =>
+        var times = List.empty[Double]
+        var ok = true
+        var r = 0
+        while (ok && r < reps) {
+          val t0 = System.nanoTime()
+          try { fn(s32, sfDir).count() } catch { case e: Throwable =>
+            failures ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120))
+            ok = false
+          }
+          if (ok) times :+= (System.nanoTime() - t0) / 1e9
+          // queries may cache their stage-table analogue; don't let 50
+          // queries accumulate cached blocks. clearCache() removes the
+          // CacheManager ENTRIES (RDD-level unpersist alone leaves a dead
+          // registration that turns the next query's .cache() of the same
+          // plan into a silent no-op); the RDD sweep then catches
+          // localCheckpoint blocks, which live outside the catalog.
+          s32.catalog.clearCache()
+          s32.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          r += 1
+        }
+        if (ok) Some(name -> times.toSeq) else None
+      }
+    s32.stop()
+    QueryAttempt(results, failures, pre, probe())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Corpus multiples sized so the LOW-core run takes >60s: scaling
@@ -310,65 +424,79 @@ object Bench {
     // shipped an implausible alu_eff_8_32 of 1.463 when its one 8-thread
     // measurement hit a degraded window (VERDICT r4 wrong #2).
     val hostCtl = probe().json
-    val allCertified = Seq(attA, attB, attS, attS2).forall(_.certified)
+    def allCertifiedWith(q: QueryAttempt): Boolean =
+      Seq(attA, attB, attS, attS2).forall(_.certified) && q.certified
 
     // bucket-cap drop audit at the bench corpus and the bench surface's
     // params (VERDICT r3 item 9): zero certifies the capped LSH paths
-    // dropped no candidate buckets in the timed queries
-    val (mhDropped, shDropped, shRecallDropped) = {
+    // dropped no candidate buckets in the timed queries. Each capped
+    // surface is audited at ITS OWN blocking AND its own cap: the at-scale
+    // surfaces (dd_minhash bands=16, dd_simhash 4×16-bit) at the fixed
+    // cap=1000, the recall surfaces (dd_minhash_recall, dd_simhash_recall
+    // 8×8-bit) at the corpus-sized cap (maxBucket=0 sentinel) they now run
+    // with — r4's fixed recall cap silently dropped 3 buckets at sf0.1
+    // (VERDICT r4 next #3). simhash_recall_max_hamming is the ADVICE r4
+    // margin audit: the blocking guarantees recall only within hamming ≤ 7,
+    // so a max observed hamming at/beyond 7 flags that the corpus's true
+    // pairs are standing on bucket luck (measured: sf0.01 gate corpus 5 —
+    // inside the ball; sf0.1 reaches 12, documented as luck-recalled).
+    val (mhDropped, shDropped, mhRecallDropped, shRecallDropped, shMaxHam) = {
       val s = session(8)
       try {
         val docs = s.read.parquet(s"$sfDir/documents.parquet")
-        // audit each capped surface at ITS OWN blocking: dd_simhash blocks
-        // 4×16-bit, dd_simhash_recall blocks 8×8-bit — the two bucketings
-        // drop independently
         (operators.Dedup.minhashDroppedBuckets(docs, "doc_id", "text",
           m = 32, bands = 16).count(),
           operators.Dedup.simhashDroppedBuckets(docs, "doc_id", "text",
             nBlocks = 4).count(),
+          operators.Dedup.minhashDroppedBuckets(docs, "doc_id", "text",
+            m = 32, bands = 16, maxBucket = 0).count(),
           operators.Dedup.simhashDroppedBuckets(docs, "doc_id", "text",
-            nBlocks = 8).count())
+            nBlocks = 8, maxBucket = 0).count(),
+          {
+            val r = operators.Dedup.simhashRecallMaxHamming(docs, "doc_id",
+              "text").collect()(0)
+            if (r.isNullAt(0)) -1 else r.getInt(0) // -1 = zero pairs emitted
+          })
       } finally s.stop()
     }
     val audit = s"""{"minhash_dropped_buckets":$mhDropped,""" +
       s""""simhash_dropped_buckets":$shDropped,""" +
-      s""""simhash_recall_dropped_buckets":$shRecallDropped}"""
+      s""""minhash_recall_dropped_buckets":$mhRecallDropped,""" +
+      s""""simhash_recall_dropped_buckets":$shRecallDropped,""" +
+      s""""simhash_recall_max_hamming":$shMaxHam}"""
 
-    // --- per-query timings at local[32] ---
-    val s32 = session(32)
-    var failures = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) => oracleOnly.contains(name) }
-      .flatMap { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // failures are REPORTED in the failures map and EXCLUDED from the
-        // queries map and total — a partial elapsed time of a crash is not
-        // a timing, and letting it into `total` would make round-over-round
-        // comparisons crash-shaped instead of performance-shaped
-        val ok =
-          try { fn(s32, sfDir).count(); true } catch { case e: Throwable =>
-            failures ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120))
-            false
-          }
-        val sec = (System.nanoTime() - t0) / 1e9
-        // queries may cache their stage-table analogue; don't let 50
-        // queries accumulate cached blocks. clearCache() removes the
-        // CacheManager ENTRIES (RDD-level unpersist alone leaves a dead
-        // registration that turns the next query's .cache() of the same
-        // plan into a silent no-op); the RDD sweep then catches
-        // localCheckpoint blocks, which live outside the catalog.
-        s32.catalog.clearCache()
-        s32.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        if (ok) Some(name -> sec) else None
+    // --- per-query timings at local[32], SELF-CERTIFYING (VERDICT r4
+    // missing #1: r4's official window read all 47 comparable queries
+    // ~1.25× slower and the artifact could not tell window from regression
+    // — the exact gap the scaling blocks closed in r4). Same protocol:
+    // best-of-2 per query, ALU+bw probes bracketing the whole block, and an
+    // uncertified block re-runs once with both attempts kept. ---
+    val firstQ = queryAttempt(sfDir)
+    val (qAtt, qDiscarded) =
+      if (firstQ.certified) (firstQ, None)
+      else {
+        val second = queryAttempt(sfDir)
+        if (second.disagreement <= firstQ.disagreement) (second, Some(firstQ))
+        else (firstQ, Some(second))
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val results = qAtt.results
+    val failures = qAtt.failures
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v.min}%.3f" }
       .mkString("{", ",", "}")
+    val qReps = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(x => f"$x%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val qCtl = f""""queries_ctl_pre":${qAtt.pre.json},""" +
+      f""""queries_ctl_post":${qAtt.post.json},""" +
+      f""""queries_ctl_disagreement":${qAtt.disagreement}%.3f,""" +
+      s""""queries_window_certified":${qAtt.certified}""" +
+      qDiscarded.map(d => s""","queries_discarded_attempt":${d.compactJson}""")
+        .getOrElse("")
     val excl = oracleOnly.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
     val fails = failures.reverse.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.min).sum
     val headline = headlineJson(failures.size, total)
     // the short core every consumer needs: totals + the four scaling
     // blocks + per-block window certification + failure count
@@ -376,10 +504,10 @@ object Bench {
       f""""triples_per_sec":$thrB%.1f,""" +
       s""""scaling":$scalingA,"scaling_8_32":$scalingB,""" +
       s""""scaling_staged_2_8":$scalingS,"scaling_staged_8_32":$scalingS2,""" +
-      s""""host_ctl":$hostCtl,"windows_certified":$allCertified,""" +
+      s""""host_ctl":$hostCtl,"windows_certified":${allCertifiedWith(qAtt)},""" +
       s""""audit":$audit,"n_failed":${failures.size}"""
     val jsonFull = s"""{$core,"excluded":$excl,"failures":$fails,""" +
-      s""""queries":$qs,"sf":"$sfDir"}"""
+      s""""queries":$qs,"query_reps":$qReps,$qCtl,"sf":"$sfDir"}"""
     // full line to the files the driver can read whole — plus a
     // round-stamped artifact under bench_runs/ that gets COMMITTED, so a
     // run's evidence survives the driver overwriting bench_out.json
@@ -409,8 +537,7 @@ object Bench {
       f""""bw_eff_8_32_ref":${(attB.pre.bwEff + attB.post.bwEff) / 2}%.3f"""
     println(s"""{"metric":"total",$headline,"unit":"sec",""" +
       f""""triples_per_sec":$thrB%.1f,$effs,""" +
-      s""""windows_certified":$allCertified,"n_failed":${failures.size},""" +
+      s""""windows_certified":${allCertifiedWith(qAtt)},"n_failed":${failures.size},""" +
       s""""sf":"$sfDir","full":"bench_out.json"}""")
-    s32.stop()
   }
 }

@@ -98,6 +98,28 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
 
+  /** Effective bucket cap of the RECALL surfaces (VERDICT r4 next #3):
+    * `maxBucket` if positive, else CORPUS-SIZED — max(1000, ⌈nDocs/2⌉).
+    * A recall surface whose cap can silently bind is a recall leak: at
+    * sf0.1 the 8×8-bit simhash blocking put 1460 docs in one bucket and
+    * the fixed cap=1000 dropped three buckets' candidates (recorded in the
+    * r4 bench audit, recall knowably < 1 at bench scale). A bucket larger
+    * than nDocs/2 means > 25% of ALL pairs share one bucket — a degenerate
+    * corpus that violated the exact-dedup-first contract — so the
+    * corpus-sized cap never binds on sane input while still bounding the
+    * blowup a pathological one could cause. The at-scale surfaces
+    * ([[minhashLshPairs]], [[simhashPairs]]) keep their fixed caps: their
+    * contract is bounded work, audited drops. Costs one count() pass. */
+  private def effectiveCap(df: DataFrame, maxBucket: Int): Int =
+    if (maxBucket > 0) maxBucket else effectiveCapN(df.count(), maxBucket)
+
+  /** Count-form of [[effectiveCap]] for callers that already know the doc
+    * count (the incremental path knows it from the index manifest count +
+    * the delta count without a second scan of either). */
+  private def effectiveCapN(nDocs: Long, maxBucket: Int): Int =
+    if (maxBucket > 0) maxBucket
+    else math.min(math.max(1000L, (nDocs + 1) / 2), Int.MaxValue.toLong).toInt
+
   /** The (band, bkey) LSH banding of a corpus's minhash signatures. */
   private def bandedMinhash(df: DataFrame, idCol: String, textCol: String,
       m: Int, bands: Int, k: Int): DataFrame = {
@@ -116,7 +138,7 @@ object Dedup {
   def minhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
       m: Int = 32, bands: Int = 8, k: Int = 3, maxBucket: Int = 1000): DataFrame =
     droppedBuckets(bandedMinhash(df, idCol, textCol, m, bands, k),
-      Seq("band", "bkey"), maxBucket)
+      Seq("band", "bkey"), effectiveCap(df, maxBucket))
 
   /** MinHash+LSH near-dup pairs: band the signature (b bands × r rows),
     * join on equal band hash, verify estimated Jaccard = matching minhash
@@ -154,30 +176,44 @@ object Dedup {
     * to end while the Spark plan stays bucket-joined, never all-pairs. */
   def minhashLshTrueJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       m: Int = 32, bands: Int = 16, trueThreshold: Double = 0.5, k: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 0): DataFrame = {
     // docs shorter than k words carry no k-shingle and never pair (the
     // signature kernel pads them to one short shingle for LSH bucketing,
     // but "near-dup" is undefined below one full shingle — and the exact
     // SQL oracles exclude them the same way)
     val banded = bandedMinhash(df, idCol, textCol, m, bands, k)
     verifyTrueJaccard(
-      bucketPairIds(capBuckets(banded, Seq("band", "bkey"), maxBucket),
-        Seq("band", "bkey")),
+      bucketPairIds(capBuckets(banded, Seq("band", "bkey"),
+        effectiveCap(df, maxBucket)), Seq("band", "bkey")),
       df, idCol, textCol, k, trueThreshold)
   }
+
+  /** (id, sh) k-shingle-hash table of a corpus: docs shorter than k words
+    * carry no k-shingle and are excluded (matching the exact SQL oracles).
+    * The shared head of every true-Jaccard verify, and the `docs` side of
+    * the persisted incremental index ([[buildMinhashIndex]]) — one
+    * definition so the batch and incremental predicates can't drift. */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.filter(size(words(col(textCol))) >= k)
+      .select(col(idCol).as("id"),
+        graft.functions.SignatureExprs.shingleHashes(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   /** Exact-k-shingle-Jaccard verification of candidate id pairs: re-attach
     * the full shingle sets, compute |∩|/|∪|, keep ≥ `trueThreshold`. The
     * shared tail of both recall surfaces ([[minhashLshTrueJaccardPairs]],
     * [[simhashTrueJaccardPairs]]) — one definition, so the two paths'
-    * verified predicates can't drift apart. Docs shorter than k words
-    * carry no k-shingle and never pair (matching the exact SQL oracles). */
+    * verified predicates can't drift apart. */
   private def verifyTrueJaccard(pairIds: DataFrame, df: DataFrame,
-      idCol: String, textCol: String, k: Int, trueThreshold: Double): DataFrame = {
-    val sh = df.filter(size(words(col(textCol))) >= k)
-      .select(col(idCol).as("id"),
-        graft.functions.SignatureExprs.shingleHashes(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
+      idCol: String, textCol: String, k: Int, trueThreshold: Double): DataFrame =
+    verifyTrueJaccardSh(pairIds, shingleTable(df, idCol, textCol, k), trueThreshold)
+
+  /** [[verifyTrueJaccard]] over a precomputed (id, sh) shingle table —
+    * the incremental path verifies against INDEXED shingle sets (computed
+    * once at build) unioned with the delta's. */
+  private def verifyTrueJaccardSh(pairIds: DataFrame, sh: DataFrame,
+      trueThreshold: Double): DataFrame = {
     pairIds
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -206,7 +242,7 @@ object Dedup {
     * floor so pair recall is ~1 (see [[minhashLshTrueJaccardPairs]]). */
   def canonicalByNearDup(df: DataFrame, idCol: String, textCol: String,
       m: Int = 32, bands: Int = 16, trueThreshold: Double = 0.5, k: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 0): DataFrame = {
     val pairs = minhashLshTrueJaccardPairs(df, idCol, textCol, m, bands,
       trueThreshold, k, maxBucket)
     val ids = df.select(col(idCol).as("orig")).distinct()
@@ -272,7 +308,7 @@ object Dedup {
   def simhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
       maxBucket: Int = 1000, nBlocks: Int = 4): DataFrame =
     droppedBuckets(blockedSimhash(df, idCol, textCol, nBlocks),
-      Seq("block", "bkey"), maxBucket)
+      Seq("block", "bkey"), effectiveCap(df, maxBucket))
 
   /** SimHash near-dup pairs: block on 4×16-bit sub-keys (a pair within
     * hamming distance ≤ 3 of 64 bits must agree exactly on ≥1 of 4 blocks),
@@ -305,14 +341,17 @@ object Dedup {
     * nBlocks−1 ball (the gate corpus's true pairs sit at hamming ≤ 5,
     * margin 2); a true pair BEYOND the ball is recalled only when it
     * shares a block by luck (observed: sf0.001's J=0.889 pair at hamming
-    * 8 does), and the shared `maxBucket` cap over 2^8-value keys also
-    * bites earlier as the corpus grows — audit with
-    * [[simhashDroppedBuckets]](nBlocks = 8). Narrower keys trade pruning
-    * for the wider guarantee; [[simhashPairs]] remains the at-scale
-    * shape. */
+    * 8 does). The bucket cap is CORPUS-SIZED by default (maxBucket = 0 →
+    * [[effectiveCap]]: max(1000, ⌈nDocs/2⌉)) so it cannot silently bind at
+    * bench scale the way r4's fixed cap=1000 did (three over-cap buckets
+    * at sf0.1, recall knowably < 1) — audit with
+    * [[simhashDroppedBuckets]](nBlocks = 8, maxBucket = 0) and watch the
+    * hamming margin with [[simhashRecallMaxHamming]]. Narrower keys trade
+    * pruning for the wider guarantee; [[simhashPairs]] remains the
+    * at-scale shape. */
   def simhashTrueJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, trueThreshold: Double = 0.5, nBlocks: Int = 8,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 0): DataFrame = {
     // NOTE: no hamming pre-filter before the verify — tempting (8-byte
     // signatures vs ~100-element shingle arrays), but blocking also
     // catches true pairs BEYOND the guaranteed hamming ≤ nBlocks−1 ball by
@@ -321,9 +360,30 @@ object Dedup {
     // hamming 8) and turns a recall surface into a recall leak.
     val blocked = blockedSimhash(df, idCol, textCol, nBlocks)
     verifyTrueJaccard(
-      bucketPairIds(capBuckets(blocked, Seq("block", "bkey"), maxBucket),
-        Seq("block", "bkey")),
+      bucketPairIds(capBuckets(blocked, Seq("block", "bkey"),
+        effectiveCap(df, maxBucket)), Seq("block", "bkey")),
       df, idCol, textCol, k, trueThreshold)
+  }
+
+  /** Margin audit of [[simhashTrueJaccardPairs]] (ADVICE r4): the maximum
+    * simhash hamming distance among the pairs the recall surface emits.
+    * The blocking GUARANTEES recall only within hamming ≤ nBlocks−1; a
+    * max observed hamming at or beyond that edge means the corpus's true
+    * pairs are leaving the guaranteed ball and the oracle gate is standing
+    * on bucket luck — visible here BEFORE a corpus regeneration flips the
+    * gate red. One row: (max_hamming, n_pairs). */
+  def simhashRecallMaxHamming(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, trueThreshold: Double = 0.5, nBlocks: Int = 8,
+      maxBucket: Int = 0): DataFrame = {
+    val pairs = simhashTrueJaccardPairs(df, idCol, textCol, k, trueThreshold,
+      nBlocks, maxBucket)
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.SignatureExprs.simhash64(col(textCol)).as("sig"))
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .agg(max(bit_count(col("sig_a").bitwiseXOR(col("sig_b")))).as("max_hamming"),
+        count(lit(1)).as("n_pairs"))
   }
 
   /** n-gram Jaccard pairs via a rare-shingle inverted join: only shingles
@@ -362,5 +422,125 @@ object Dedup {
       .withColumn("jaccard", col("inter") / col("uni").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental dedup against a persisted minhash band-key index
+  // (VERDICT r4 next #5). At 100 TB you dedup a NEW BATCH against the
+  // corpus, not the corpus against itself: the corpus's signatures and
+  // shingle sets are computed ONCE at index build; a delta probe costs
+  // O(delta) signature work + a partition-pruned read of only the index
+  // shards the delta's own band keys hash to. Reference analogue: the
+  // persisted ES index + supersede semantics (src/app.py:1191-1208) —
+  // re-expressed as a partitioned parquet index, the same layout family
+  // as LexicalIndex.buildIndex / Similarity.buildLshIndex.
+  // ------------------------------------------------------------------
+
+  /** Build the persisted index of a corpus. Layout:
+    *  - `path/bands` — (id, band, bkey) partitioned by
+    *    `bshard = pmod(bkey, nShards)`: a delta probe reads only the
+    *    shards its own band keys hash to (parquet partition pruning,
+    *    plan-asserted in Round5Spec). nShards trades pruning granularity
+    *    for file count — at cluster scale raise it with the corpus.
+    *  - `path/docs` — the (id, sh) [[shingleTable]] the exact-Jaccard
+    *    verify needs, computed once here, never re-derived from text.
+    * Ids must be unique across corpus ∪ any future delta (the ingest
+    * contract — Ingest.validate's duplicate-upload guard upstream). */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, m: Int = 32, bands: Int = 16, k: Int = 3,
+      nShards: Int = 64): Unit = {
+    bandedMinhash(df, idCol, textCol, m, bands, k)
+      .withColumn("bshard", pmod(col("bkey"), lit(nShards.toLong)))
+      .write.mode("overwrite").partitionBy("bshard").parquet(s"$path/bands")
+    shingleTable(df, idCol, textCol, k)
+      .write.mode("overwrite").parquet(s"$path/docs")
+  }
+
+  /** Append a delta batch to an existing index (the accept-and-extend half
+    * of the supersede loop: probe first with
+    * [[incrementalTrueJaccardPairs]] / [[incrementalNewDocs]], then append
+    * what you kept). Same banding params as the build or the index is
+    * corrupt — appended == rebuilt is equality-tested in Round5Spec. */
+  def appendToMinhashIndex(delta: DataFrame, idCol: String, textCol: String,
+      path: String, m: Int = 32, bands: Int = 16, k: Int = 3,
+      nShards: Int = 64): Unit = {
+    bandedMinhash(delta, idCol, textCol, m, bands, k)
+      .withColumn("bshard", pmod(col("bkey"), lit(nShards.toLong)))
+      .write.mode("append").partitionBy("bshard").parquet(s"$path/bands")
+    shingleTable(delta, idCol, textCol, k)
+      .write.mode("append").parquet(s"$path/docs")
+  }
+
+  /** Verified near-dup pairs TOUCHING the delta: delta×corpus plus the
+    * delta's internal pairs, exact-Jaccard ≥ `trueThreshold`, id_a < id_b.
+    * Equals the batch [[minhashLshTrueJaccardPairs]] over corpus ∪ delta
+    * restricted to pairs with a delta side (oracle row dd_incremental;
+    * also property-tested) — candidate buckets match because a bucket with
+    * no delta key contributes no delta pair, the union's bucket contents
+    * within a probed shard are complete (bshard is a function of bkey),
+    * and the cap is computed on the same corpus∪delta doc count.
+    * Scale shape: the index is read partition-pruned to the delta's
+    * shards; the only driver materialization is the ≤ nShards shard-id
+    * list. The delta side is joined, not broadcast-forced — AQE picks
+    * broadcast when the delta is small. */
+  def incrementalTrueJaccardPairs(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, textCol: String,
+      m: Int = 32, bands: Int = 16, trueThreshold: Double = 0.5, k: Int = 3,
+      nShards: Int = 64, maxBucket: Int = 0): DataFrame = {
+    val deltaBanded = bandedMinhash(delta, idCol, textCol, m, bands, k)
+    // bounded driver collect: at most nShards values by construction
+    val shards = deltaBanded
+      .select(pmod(col("bkey"), lit(nShards.toLong)).as("bshard"))
+      .distinct().collect().map(_.getLong(0))
+    val idxDocs = spark.read.parquet(s"$path/docs")
+    val idxBanded = spark.read.parquet(s"$path/bands")
+      .filter(col("bshard").isin(shards: _*))
+      .select(col("id"), col("band"), col("bkey"))
+    val union = idxBanded.withColumn("is_delta", lit(false))
+      .unionByName(deltaBanded.withColumn("is_delta", lit(true)))
+    val cap = effectiveCapN(idxDocs.count() + delta.count(), maxBucket)
+    val capped = capBuckets(union, Seq("band", "bkey"), cap)
+    // pair join keeps the delta flags so corpus-corpus pairs inside a
+    // probed bucket are dropped BEFORE the distinct() shuffle
+    val keys = Seq(col("band"), col("bkey"))
+    val pairIds = capped
+      .select(keys :+ col("id").as("id_a") :+ col("is_delta").as("del_a"): _*)
+      .join(capped.select(
+        keys :+ col("id").as("id_b") :+ col("is_delta").as("del_b"): _*), Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("del_a") || col("del_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sh = idxDocs.unionByName(shingleTable(delta, idCol, textCol, k))
+    verifyTrueJaccardSh(pairIds, sh, trueThreshold)
+  }
+
+  /** The delta docs that SURVIVE incremental dedup — the left_anti last
+    * mile. Supersede rule (reference src/app.py:1191-1208: the corpus is
+    * immutable, a new doc matching anything existing is dropped): delta
+    * doc d is dropped iff it has a verified pair with a corpus doc, or
+    * with a delta doc of smaller id (keep-first within the batch — the
+    * batch canonical min-id rule on clique-shaped dup groups; chains that
+    * span multiple appends resolve per-batch, the documented incremental
+    * semantics). Returns the surviving delta rows (all delta columns). */
+  def incrementalNewDocs(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, textCol: String,
+      m: Int = 32, bands: Int = 16, trueThreshold: Double = 0.5, k: Int = 3,
+      nShards: Int = 64, maxBucket: Int = 0): DataFrame = {
+    val pairs = incrementalTrueJaccardPairs(spark, path, delta, idCol,
+      textCol, m, bands, trueThreshold, k, nShards, maxBucket)
+    val deltaIds = delta.select(col(idCol).as("did"))
+    // victims: the greater side of any pair is always dropped when it is
+    // a delta doc; the smaller side is dropped only when its partner is a
+    // corpus doc (a delta doc can't supersede the immutable corpus)
+    val victims = pairs.join(deltaIds, col("id_b") === col("did"))
+      .select(col("id_b").as("victim"))
+      .unionByName(
+        pairs.join(deltaIds, col("id_a") === col("did"))
+          .join(deltaIds.select(col("did").as("did_b")),
+            col("id_b") === col("did_b"), "left_anti")
+          .select(col("id_a").as("victim")))
+      .distinct()
+    delta.join(victims, col(idCol) === col("victim"), "left_anti")
   }
 }

@@ -63,19 +63,33 @@ object Similarity {
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** The multi-probe bucket set: the signature plus every variant within
+    * hamming ≤ `probeHamming` bit flips — Σ C(bits, i) probes of 2^bits
+    * buckets (e.g. bits=12, probeHamming=2: 79 of 4096, a ~2% expected
+    * scan fraction). Recall/scan traded by `probeHamming`; measured recall
+    * vs [[bruteForceTopK]] is the sim_lsh_recall driver row. */
+  private[graft] def probeSigs(qSig: Long, bits: Int, probeHamming: Int): Seq[Long] = {
+    def flips(sig: Long, from: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(sig)
+      else Seq(sig) ++ (from until bits).flatMap(b =>
+        flips(sig ^ (1L << b), b + 1, left - 1))
+    flips(qSig, 0, probeHamming).distinct
+  }
+
   /** ANN top-k: candidates share the query's signature bucket (multi-probe:
-    * hamming ≤ 1 neighbours included), exact cosine rerank. Falls back to
-    * nothing silently if the bucket is empty — callers wanting guarantees
-    * use [[bruteForceTopK]]; logged-out recall is tested, not assumed. */
+    * hamming ≤ `probeHamming` neighbours included), exact cosine rerank.
+    * Falls back to nothing silently if the bucket is empty — callers
+    * wanting guarantees use [[bruteForceTopK]]; logged-out recall is
+    * MEASURED (sim_lsh_recall), not assumed. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int, bits: Int = 12): DataFrame = {
+      query: Seq[Double], k: Int, bits: Int = 12,
+      probeHamming: Int = 1): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val q = array(query.map(lit): _*)
     val qSigRow = spark.range(1).select(lshSignature(q, bits).as("s")).head()
     val qSig = qSigRow.getLong(0)
-    // multi-probe: exact bucket + all 1-bit flips
-    val probes = (qSig +: (0 until bits).map(b => qSig ^ (1L << b))).toSet.toSeq
+    val probes = probeSigs(qSig, bits, probeHamming)
     emb.withColumn("sig", lshSignature(col(vecCol), bits))
       .filter(col("sig").isin(probes: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
@@ -112,6 +126,32 @@ object Similarity {
     if (sliced.length >= nCentroids) sliced else topN(base)
   }
 
+  /** Lloyd (spherical k-means) refinement of a sampled codebook (VERDICT
+    * r4 next #6): assign every vector to its nearest centroid by cosine,
+    * recompute each list's elementwise mean, keep the previous centroid for
+    * an emptied list. One pass per iteration: the per-dimension means are
+    * `dims` parallel avg aggregates with map-side partial aggregation —
+    * one shuffle of (nCentroids × dims) partials, nothing driver-side but
+    * the tiny codebook itself. Cosine ignores vector scale, so the plain
+    * mean IS the spherical-k-means update (no renormalization needed for
+    * assignment purposes). Deterministic up to float-summation order in
+    * avg(); an exact-tie assignment flip from that is ~never and the
+    * full-probe exactness contract is centroid-independent either way. */
+  private[graft] def refineCentroids(emb: DataFrame, vecCol: String,
+      centroids: Array[(Long, Seq[Double])], iters: Int = 1): Array[(Long, Seq[Double])] = {
+    if (iters <= 0) return centroids
+    val dims = centroids.head._2.length
+    val assigned = emb.withColumn("ivf_cid", assignCol(centroids, vecCol))
+    val avgCols = (0 until dims)
+      .map(i => avg(element_at(col(vecCol), i + 1).cast("double")).as(s"c$i"))
+    val byCid = assigned.groupBy(col("ivf_cid")).agg(avgCols.head, avgCols.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (0 until dims).map(i => r.getDouble(i + 1)).toSeq)
+      .toMap
+    val next = centroids.map { case (cid, old) => (cid, byCid.getOrElse(cid, old)) }
+    refineCentroids(emb, vecCol, next, iters - 1)
+  }
+
   /** Nearest-centroid assignment as a pure codegen'd expression: one cosine
     * per centroid, argmax via sort_array on (cos, cid) structs. */
   private def assignCol(centroids: Array[(Long, Seq[Double])], vecCol: String): Column = {
@@ -140,8 +180,10 @@ object Similarity {
     * [[ivfTopKIndexed]] is the persisted form whose probes are
     * partition-PRUNED reads. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = sampleCentroids(emb, idCol, vecCol, nCentroids)
+      query: Seq[Double], k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 0): DataFrame = {
+    val centroids = refineCentroids(emb, vecCol,
+      sampleCentroids(emb, idCol, vecCol, nCentroids), lloydIters)
     val assigned = emb.withColumn("ivf_cid", assignCol(centroids, vecCol))
     val q = array(query.map(lit): _*)
     assigned.filter(col("ivf_cid").isin(probeCids(centroids, query, nProbe): _*))
@@ -158,10 +200,11 @@ object Similarity {
     * table, enforced by parquet partition pruning, with zero per-query
     * signature work. */
   def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
-      path: String, nCentroids: Int = 16): Unit = {
+      path: String, nCentroids: Int = 16, lloydIters: Int = 1): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val centroids = sampleCentroids(emb, idCol, vecCol, nCentroids)
+    val centroids = refineCentroids(emb, vecCol,
+      sampleCentroids(emb, idCol, vecCol, nCentroids), lloydIters)
     centroids.toSeq.toDF("cid", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     emb.withColumn("ivf_cid", assignCol(centroids, vecCol))
@@ -214,7 +257,8 @@ object Similarity {
     * sim_ivf_indexed's full-probe contract. */
   def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, query: Seq[Double], k: Int,
-      bits: Int = 12, prefixBits: Int = 6, probeAll: Boolean = false): DataFrame = {
+      bits: Int = 12, prefixBits: Int = 6, probeAll: Boolean = false,
+      probeHamming: Int = 1): DataFrame = {
     val q = array(query.map(lit): _*)
     val base = spark.read.parquet(s"$path/vectors")
     val cands =
@@ -222,7 +266,7 @@ object Similarity {
       else {
         val qSig = spark.range(1).select(lshSignature(q, bits).as("s"))
           .head().getLong(0)
-        val probes = (qSig +: (0 until bits).map(b => qSig ^ (1L << b))).distinct
+        val probes = probeSigs(qSig, bits, probeHamming)
         val prefixes = probes.map(_ >>> (bits - prefixBits)).distinct
         base.filter(col("lsh_prefix").isin(prefixes: _*) &&
           col("lsh_sig").isin(probes: _*))
@@ -230,6 +274,104 @@ object Similarity {
     cands.select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Exact top-k per query for a BATCH of query vectors, one plan: broadcast
+    * the (tiny) query set, score every (row, query) pair, window top-k per
+    * query. The shared exact side of both recall surfaces. */
+  private def batchExactTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qDf = queries.map { case (qid, v) => (qid, v) }.toDF("query_id", "qvec")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col(idCol).asc)
+    emb.crossJoin(broadcast(qDf))
+      .select(col("query_id"), col(idCol),
+        round(cosine(col(vecCol), col("qvec")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col(idCol))
+  }
+
+  /** Per-query hit count of a pruned candidate stream vs the exact top-k:
+    * top-k the candidates per query (same ordering as the exact side),
+    * inner-join on (query_id, id), count — every query keeps a row (0 hits
+    * included via the left join back onto the query list). */
+  private def recallOf(cands: DataFrame, emb: DataFrame, idCol: String,
+      vecCol: String, queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col(idCol).asc)
+    val prunedTop = cands
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col(idCol))
+    val hits = prunedTop
+      .join(batchExactTopK(emb, idCol, vecCol, queries, k),
+        Seq("query_id", idCol))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.map(_._1).toDF("query_id")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 6).as("recall"))
+  }
+
+  /** MEASURED recall@k of the pruned IVF probe path vs [[bruteForceTopK]]
+    * (VERDICT r4 next #4 — until now only full-probe losslessness was
+    * gated; the number a user actually cares about was unmeasured). Serves
+    * a BATCH of queries from a [[buildIvfIndex]] table in one plan: the
+    * pruned side reads only the union of all queries' probed lists
+    * (partition-pruned), the exact side is one broadcast-query scan +
+    * window top-k. Returns (query_id, n_hits, recall) per query. */
+  def ivfRecallIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, queries: Seq[(Long, Seq[Double])],
+      k: Int, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val centroids: Array[(Long, Seq[Double])] =
+      spark.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val probePairs = broadcast(queries.flatMap { case (qid, q) =>
+      probeCids(centroids, q, nProbe).map(cid => (qid, cid, q))
+    }.toDF("query_id", "cid", "qvec"))
+    val idx = spark.read.parquet(s"$path/vectors")
+    val allCids = queries.flatMap { case (_, q) => probeCids(centroids, q, nProbe) }.distinct
+    val cands = idx
+      .filter(col("ivf_cid").isin(allCids: _*)) // partition pruning on the union
+      .join(probePairs, col("ivf_cid") === col("cid"))
+      .select(col("query_id"), col(idCol),
+        round(cosine(col(vecCol), col("qvec")), 6).as("cos"))
+    recallOf(cands, spark.read.parquet(s"$path/vectors"), idCol, vecCol, queries, k)
+  }
+
+  /** MEASURED recall@k of the pruned multi-probe LSH path vs
+    * [[bruteForceTopK]], served from a [[buildLshIndex]] table — the LSH
+    * twin of [[ivfRecallIndexed]]. The candidate read is pruned to the
+    * union of every query's probe prefixes. */
+  def lshRecallIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, queries: Seq[(Long, Seq[Double])],
+      k: Int, bits: Int = 12, prefixBits: Int = 6,
+      probeHamming: Int = 2): DataFrame = {
+    import spark.implicits._
+    val sigOf = queries.map { case (qid, q) =>
+      qid -> spark.range(1)
+        .select(lshSignature(array(q.map(lit): _*), bits).as("s")).head().getLong(0)
+    }.toMap
+    val probePairs = broadcast(queries.flatMap { case (qid, q) =>
+      probeSigs(sigOf(qid), bits, probeHamming).map(sig => (qid, sig, q))
+    }.toDF("query_id", "psig", "qvec"))
+    val allPrefixes = queries.flatMap { case (qid, _) =>
+      probeSigs(sigOf(qid), bits, probeHamming).map(_ >>> (bits - prefixBits))
+    }.distinct
+    val idx = spark.read.parquet(s"$path/vectors")
+    val cands = idx
+      .filter(col("lsh_prefix").isin(allPrefixes: _*)) // partition pruning
+      .join(probePairs, col("lsh_sig") === col("psig"))
+      .select(col("query_id"), col(idCol),
+        round(cosine(col(vecCol), col("qvec")), 6).as("cos"))
+    recallOf(cands, spark.read.parquet(s"$path/vectors"), idCol, vecCol, queries, k)
   }
 
   /** Exact all-pairs cosine ≥ threshold (oracle-checkable baseline; the

@@ -1,0 +1,229 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Round-5 fixes: measured ANN recall for the pruned probe paths, Lloyd
+  * codebook refinement, corpus-sized recall-surface caps, the simhash
+  * hamming-margin audit, the multi-probe width parameter, and the
+  * bucket-name parse guard in the resumable sink. */
+class Round5Spec extends GraftSuite {
+  import spark.implicits._
+
+  /** Deterministic clustered embedding corpus: `n` vectors in `nClusters`
+    * well-separated axis clusters with small hash-seeded noise — the data
+    * shape where an IVF codebook is MEANT to work (the sf corpora are
+    * isotropic random, ANN's worst case). */
+  private def clusteredEmb(n: Int, nClusters: Int, dims: Int = 16) = {
+    def h(i: Int, j: Int): Double =
+      (((i * 2654435761L + j * 40503L) % 1000L).toDouble / 1000.0 - 0.5) * 0.1
+    (0 until n).map { i =>
+      val c = i % nClusters
+      val base = Array.tabulate(dims)(d => if (d == c) 1.0 else 0.0)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => (v + h(i, d)).toFloat }.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("Lloyd refinement is non-decreasing on clustered data at fixed nProbe " +
+      "and preserves full-probe exactness") {
+    val emb = clusteredEmb(160, 8).cache()
+    emb.count()
+    val queries = (0 until 8).map { i =>
+      val r = emb.filter($"vec_id" === i.toLong).head()
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)
+    }
+    def meanRecall(lloyd: Int): Double = {
+      val idx = Files.createTempDirectory(s"graft_r5_ivf$lloyd").toString
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx,
+        nCentroids = 8, lloydIters = lloyd)
+      val out = Similarity.ivfRecallIndexed(spark, idx, "vec_id", "embedding",
+        queries, 5, nProbe = 1).agg(avg($"recall")).head().getDouble(0)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+      out
+    }
+    val r0 = meanRecall(0)
+    val r1 = meanRecall(1)
+    assert(r1 >= r0, s"lloyd=1 recall $r1 < lloyd=0 recall $r0")
+    // on well-separated clusters one refinement step should recover the
+    // true centroids and make nProbe=1 exact
+    assert(r1 == 1.0, s"refined codebook nProbe=1 recall $r1 != 1.0 on clustered data")
+    // full-probe exactness is centroid-independent — refined index included
+    val idx = Files.createTempDirectory("graft_r5_ivf_full").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx,
+      nCentroids = 8, lloydIters = 1)
+    val q0 = queries.head._2
+    val full = Similarity.ivfTopKIndexed(spark, idx, "vec_id", "embedding",
+      q0, 5, nProbe = 8).collect().toSeq
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q0, 5)
+      .collect().toSeq
+    assert(full == exact)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+    emb.unpersist()
+  }
+
+  test("recall surfaces report 1.0 when the probe set covers every bucket") {
+    val emb = clusteredEmb(80, 4).cache()
+    emb.count()
+    val queries = (0 until 4).map { i =>
+      val r = emb.filter($"vec_id" === i.toLong).head()
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)
+    }
+    val ivfIdx = Files.createTempDirectory("graft_r5_ivf_cov").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", ivfIdx, nCentroids = 4)
+    val ivf = Similarity.ivfRecallIndexed(spark, ivfIdx, "vec_id", "embedding",
+      queries, 5, nProbe = 4) // nProbe == nCentroids → every list probed
+    assert(ivf.filter($"recall" =!= 1.0).count() == 0)
+    val lshIdx = Files.createTempDirectory("graft_r5_lsh_cov").toString
+    Similarity.buildLshIndex(emb, "vec_id", "embedding", lshIdx,
+      bits = 4, prefixBits = 2)
+    val lsh = Similarity.lshRecallIndexed(spark, lshIdx, "vec_id", "embedding",
+      queries, 5, bits = 4, prefixBits = 2, probeHamming = 4) // 2^4 probes = all
+    assert(lsh.filter($"recall" =!= 1.0).count() == 0)
+    Seq(ivfIdx, lshIdx).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    emb.unpersist()
+  }
+
+  test("probeSigs enumerates exactly the hamming-<=h ball") {
+    val sigs = Similarity.probeSigs(0b1010L, bits = 6, probeHamming = 2)
+    assert(sigs.size == 1 + 6 + 15) // C(6,0)+C(6,1)+C(6,2)
+    assert(sigs.distinct.size == sigs.size)
+    assert(sigs.forall(s => java.lang.Long.bitCount(s ^ 0b1010L) <= 2))
+    // width 1 = the legacy probe set (sig + single-bit flips)
+    assert(Similarity.probeSigs(7L, 12, 1).toSet ==
+      (7L +: (0 until 12).map(b => 7L ^ (1L << b))).toSet)
+  }
+
+  test("corpus-sized recall cap never drops what a tight fixed cap would") {
+    // 40 near-identical docs: one simhash block bucket holds all of them
+    val docs = (0L until 40L)
+      .map(i => (i, s"shared boilerplate text body repeated across documents v$i"))
+      .toDF("doc_id", "text")
+    // a tight fixed cap drops the bucket…
+    assert(Dedup.simhashDroppedBuckets(docs, "doc_id", "text",
+      maxBucket = 10, nBlocks = 8).count() > 0)
+    val capped = Dedup.simhashTrueJaccardPairs(docs, "doc_id", "text",
+      trueThreshold = 0.3, maxBucket = 10)
+    // …the corpus-sized sentinel (maxBucket = 0 → max(1000, ⌈n/2⌉)) does not
+    assert(Dedup.simhashDroppedBuckets(docs, "doc_id", "text",
+      maxBucket = 0, nBlocks = 8).count() == 0)
+    val sentinel = Dedup.simhashTrueJaccardPairs(docs, "doc_id", "text",
+      trueThreshold = 0.3, maxBucket = 0)
+    assert(sentinel.count() > capped.count())
+    assert(sentinel.count() == 40L * 39 / 2) // every pair is a true near-dup
+  }
+
+  test("simhashRecallMaxHamming reports the emitted pairs' margin") {
+    // long docs differing in ONE word: the signature hamming stays small
+    // (each word is a small fraction of the bit-counter mass), so the pair
+    // is inside the guaranteed 8×8 ball and must be emitted
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base + " ending"),
+      (2L, base + " different"),
+      (3L, (101 to 140).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val r = Dedup.simhashRecallMaxHamming(docs, "doc_id", "text",
+      trueThreshold = 0.3).head()
+    assert(r.getLong(1) == 1L) // exactly the (1,2) pair
+    val ham = r.getInt(0)
+    assert(ham >= 0 && ham <= 7, s"near-dup pair hamming $ham outside the 8x8 ball")
+  }
+
+  test("incremental dedup vs persisted index == batch restricted to delta; " +
+      "supersede survivors; append == rebuild; pruned index read") {
+    def doc(seed: Int, n: Int) = (seed to seed + n).map(i => s"t$i").mkString(" ")
+    // 30 unique corpus docs (so the 64-shard index has most shards
+    // populated and the pruning assert below has room to prune) + one
+    // corpus-corpus near-dup pair that must NOT appear in the delta view
+    val corpus = ((0 until 30).map(i => (i.toLong, doc(i * 1000, 40)))
+      :+ (30L, doc(0, 40) + " ctail")).toDF("doc_id", "text")
+    val delta = Seq(
+      (110L, doc(1000, 40) + " dtailA"), // near-dup of corpus doc 1
+      (111L, doc(50000, 40)),            // unique → survives
+      (112L, doc(60000, 40)),            // twin below; smaller id → survives
+      (113L, doc(60000, 40) + " dtailB"),// delta-delta dup → superseded
+      (114L, "short doc")                // < k words: never pairs, survives
+    ).toDF("doc_id", "text")
+    val all = corpus.unionByName(delta)
+    val dir = Files.createTempDirectory("graft_inc_idx_").toString
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", dir)
+    val deltaIds = Seq(110L, 111L, 112L, 113L, 114L)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a".cast("long"), $"id_b".cast("long"), $"jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = Dedup.incrementalTrueJaccardPairs(spark, dir, delta,
+      "doc_id", "text")
+    val batchRestricted = Dedup.minhashLshTrueJaccardPairs(all, "doc_id", "text")
+      .filter($"id_a".isin(deltaIds: _*) || $"id_b".isin(deltaIds: _*))
+    assert(pairSet(inc) == pairSet(batchRestricted))
+    assert(pairSet(inc).map(p => (p._1, p._2)) == Set((1L, 110L), (112L, 113L)))
+    // supersede survivors: 110 dies to corpus, 113 dies to smaller delta
+    // twin 112; the unique, the twin-keeper and the short doc survive
+    val surv = Dedup.incrementalNewDocs(spark, dir, delta, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(surv == Set(111L, 112L, 114L))
+    // the index read is partition-pruned to the delta's band-key shards
+    val scans = {
+      def rec(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          rec(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => rec(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case o => o.children.flatMap(rec) ++ o.subqueries.flatMap(rec)
+      }
+      inc.count()
+      rec(inc.queryExecution.executedPlan)
+    }
+    val bandScan = scans
+      .find(_.metadata.get("Location").exists(_.contains("bands"))).get
+    assert(bandScan.metadata("PartitionFilters").contains("bshard"))
+    val totalShards = spark.read.parquet(s"$dir/bands")
+      .select($"bshard").distinct().count()
+    // 5 delta docs × 16 bands = ≤ 80 keys, but the pruning contract is
+    // per-key: selected shards ≤ distinct delta shards < total populated
+    assert(bandScan.selectedPartitions.partitionCount < totalShards)
+    // append == rebuild: same banding params ⇒ identical index content
+    Dedup.appendToMinhashIndex(delta, "doc_id", "text", dir)
+    val dir2 = Files.createTempDirectory("graft_inc_idx2_").toString
+    Dedup.buildMinhashIndex(all, "doc_id", "text", dir2)
+    def bandsOf(p: String) = spark.read.parquet(s"$p/bands")
+      .select($"id".cast("long"), $"band", $"bkey", $"bshard".cast("long"))
+      .collect().map(_.toSeq).toSet
+    def docsOf(p: String) = spark.read.parquet(s"$p/docs")
+      .select($"id".cast("long"), $"sh")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(bandsOf(dir) == bandsOf(dir2))
+    assert(docsOf(dir) == docsOf(dir2))
+    Seq(dir, dir2).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+  }
+
+  test("LSH-bucketed embedding near-dup pairs ⊆ exact pairs (corpus-" +
+      "independent safety behind dd_embed_neardup_lsh's measured literal)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairs(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.4, bits = 4))
+    val exact = pairs(Similarity.cosineExactPairs(emb, "vec_id", "embedding",
+      threshold = 0.4))
+    assert(lsh.nonEmpty && lsh.subsetOf(exact))
+  }
+
+  test("writeResumable skips unparseable bucket directories instead of crashing") {
+    val cfg = Pipeline.Config(nConvs = 8, nBase = 32)
+    val triples = Pipeline.triples(spark, cfg).toDF()
+    val dir = Files.createTempDirectory("graft_sink_junk_").toString
+    // foreign debris the sweep must not choke on (ADVICE r4)
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/triples/bucket=__HIVE_DEFAULT_PARTITION__"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/triples/bucket=not_a_number"))
+    GraphSink.writeResumable(triples, dir, "junk_tolerant", nBuckets = 4)
+    assert(GraphSink.readTriples(spark, dir).count() == triples.count())
+    // the junk dirs are outside the contract: left alone, never read back
+    assert(new java.io.File(s"$dir/triples/bucket=not_a_number").exists())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+}
