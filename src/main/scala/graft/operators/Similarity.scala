@@ -211,6 +211,39 @@ object Similarity {
       .write.mode("overwrite").partitionBy("ivf_cid").parquet(s"$path/vectors")
   }
 
+  /** Append a delta of vectors to a persisted IVF index (the embedding
+    * twin of [[Dedup.appendToMinhashIndex]] — at 100 TB new embeddings
+    * arrive in batches and re-clustering the corpus per batch is absurd).
+    * Assignments use the index's OWN persisted codebook, read back rather
+    * than re-sampled or re-refined: the codebook is immutable after build,
+    * so an append never moves existing list boundaries and the full-probe
+    * exactness contract over corpus ∪ delta is preserved by construction
+    * (tested). Centroid drift under sustained appends is a rebuild
+    * decision, not an append-time side effect. */
+  def appendToIvfIndex(delta: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = delta.sparkSession
+    val centroids: Array[(Long, Seq[Double])] =
+      spark.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    delta.withColumn("ivf_cid", assignCol(centroids, vecCol))
+      .write.mode("append").partitionBy("ivf_cid").parquet(s"$path/vectors")
+  }
+
+  /** Append to a persisted LSH signature index. The signature is a pure
+    * function of the vector (data-independent hyperplanes), so an append
+    * is EXACTLY a rebuild over corpus ∪ delta (content-equality tested) —
+    * no codebook to hold fixed, no drift caveat. */
+  def appendToLshIndex(delta: DataFrame, idCol: String, vecCol: String,
+      path: String, bits: Int = 12, prefixBits: Int = 6): Unit = {
+    require(prefixBits > 0 && prefixBits <= bits && bits <= 62,
+      s"need 0 < prefixBits <= bits <= 62, got prefixBits=$prefixBits bits=$bits")
+    delta.withColumn("lsh_sig", lshSignature(col(vecCol), bits))
+      .withColumn("lsh_prefix",
+        shiftrightunsigned(col("lsh_sig"), bits - prefixBits))
+      .write.mode("append").partitionBy("lsh_prefix").parquet(s"$path/vectors")
+  }
+
   /** ANN top-k served from a [[buildIvfIndex]] table: route the query on
     * the codebook (driver-side, |codebook| tiny), then one partition-pruned
     * scan of the probed lists + exact rerank. */

@@ -201,6 +201,45 @@ class Round5Spec extends GraftSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
   }
 
+  test("index appends: IVF append keeps full-probe exactness over the union " +
+      "under the build-time codebook; LSH append == rebuild exactly") {
+    val base = clusteredEmb(120, 6).cache()
+    base.count()
+    val corpus = base.filter($"vec_id" < 90)
+    val delta = base.filter($"vec_id" >= 90)
+    val ivfDir = Files.createTempDirectory("graft_ivf_app_").toString
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", ivfDir,
+      nCentroids = 6)
+    Similarity.appendToIvfIndex(delta, "vec_id", "embedding", ivfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val q = base.filter($"vec_id" === 93).head()
+      .getSeq[Float](1).map(_.toDouble).toSeq
+    // full probing over the appended index == brute force over the union —
+    // the append landed every delta vector in the list the persisted
+    // codebook routes probes to (a delta query vector, so the probe must
+    // find its appended twin first)
+    assert(rows(Similarity.ivfTopKIndexed(spark, ivfDir, "vec_id",
+        "embedding", q, 7, nProbe = 6))
+      == rows(Similarity.bruteForceTopK(base, "vec_id", "embedding", q, 7)))
+    // LSH: signature is data-independent ⇒ append is EXACTLY a rebuild
+    val d1 = Files.createTempDirectory("graft_lsh_app1_").toString
+    val d2 = Files.createTempDirectory("graft_lsh_app2_").toString
+    Similarity.buildLshIndex(corpus, "vec_id", "embedding", d1,
+      bits = 8, prefixBits = 3)
+    Similarity.appendToLshIndex(delta, "vec_id", "embedding", d1,
+      bits = 8, prefixBits = 3)
+    Similarity.buildLshIndex(base, "vec_id", "embedding", d2,
+      bits = 8, prefixBits = 3)
+    def content(p: String) = spark.read.parquet(s"$p/vectors")
+      .select($"vec_id", $"lsh_sig", $"lsh_prefix".cast("long"))
+      .collect().map(_.toSeq).toSet
+    assert(content(d1) == content(d2))
+    Seq(ivfDir, d1, d2).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    base.unpersist()
+  }
+
   test("LSH-bucketed embedding near-dup pairs ⊆ exact pairs (corpus-" +
       "independent safety behind dd_embed_neardup_lsh's measured literal)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
