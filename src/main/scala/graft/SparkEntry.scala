@@ -508,6 +508,42 @@ object SparkEntry {
           col("canonical_id").cast("long").as("canonical_id"))
         .orderBy("doc_id")),
 
+    // the STREAMING ingest loop over the same split: the delta arrives as
+    // a real Structured-Streaming source in two id-ordered micro-batches,
+    // each deduped vs the corpus index + the stream's own prior accepted
+    // output + itself (StreamingDedup; replay idempotence is
+    // Round5Spec-tested). With id-ordered batches the arrival-order
+    // supersede equals the batch min-id rule, so the accepted set is
+    // gated by the SAME survivors SQL as dd_incremental_new
+    "dd_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("graft_sdd_idx")
+      val out = java.nio.file.Files.createTempDirectory("graft_sdd_out")
+      val ck = java.nio.file.Files.createTempDirectory("graft_sdd_ck")
+      Seq(idx, out, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(p.toFile))
+      operators.Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", idx.toString)
+      // bounded driver materialization: the delta is the stream SOURCE
+      // being synthesized (id-sorted so batch boundaries are deterministic)
+      val delta = docs.filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup.start(
+        ms.toDF.select($"_1".as("doc_id"), $"_2".as("text")),
+        idx.toString, out.toString, ck.toString)
+      ms.addData(delta.take(delta.length / 2)); q.processAllAvailable()
+      ms.addData(delta.drop(delta.length / 2)); q.processAllAvailable()
+      q.stop()
+      graft.streaming.StreamingDedup.readAccepted(s, out.toString)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // incremental dedup against a persisted minhash band-key index
     // (VERDICT r4 next #5 — the 100 TB shape: dedup a new batch against
     // the corpus, never the corpus against itself). corpus = doc_id % 5
@@ -1005,6 +1041,17 @@ object SparkEntry {
     // the supersede rule restated in SQL: a delta doc dies to any corpus
     // match, or to a smaller-id delta match; survivors are the rest
     "dd_incremental_new" -> exactJaccardPairsSql.replace(
+      "SELECT id_a, id_b, round(j, 6) AS jaccard FROM pj WHERE j >= 0.5",
+      """, victims AS (
+        |  SELECT id_b AS v FROM pj WHERE j >= 0.5 AND id_b % 5 = 4
+        |  UNION
+        |  SELECT id_a AS v FROM pj
+        |  WHERE j >= 0.5 AND id_a % 5 = 4 AND id_b % 5 <> 4)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+        |WHERE doc_id % 5 = 4 AND doc_id NOT IN (SELECT v FROM victims)""".stripMargin),
+    // the streamed ingest loop lands on the same survivor set (id-ordered
+    // micro-batches ⇒ arrival-order supersede == batch min-id rule)
+    "dd_stream" -> exactJaccardPairsSql.replace(
       "SELECT id_a, id_b, round(j, 6) AS jaccard FROM pj WHERE j >= 0.5",
       """, victims AS (
         |  SELECT id_b AS v FROM pj WHERE j >= 0.5 AND id_b % 5 = 4

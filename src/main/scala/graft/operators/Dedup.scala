@@ -496,12 +496,21 @@ object Dedup {
     val idxBanded = spark.read.parquet(s"$path/bands")
       .filter(col("bshard").isin(shards: _*))
       .select(col("id"), col("band"), col("bkey"))
-    val union = idxBanded.withColumn("is_delta", lit(false))
-      .unionByName(deltaBanded.withColumn("is_delta", lit(true)))
     val cap = effectiveCapN(idxDocs.count() + delta.count(), maxBucket)
+    val sh = idxDocs.unionByName(shingleTable(delta, idCol, textCol, k))
+    deltaPairsFromBanded(idxBanded, deltaBanded, sh, cap, trueThreshold)
+  }
+
+  /** Shared pair tail of the delta-dedup surfaces: flag the two banded
+    * sides, cap buckets, pair within buckets keeping ONLY delta-touching
+    * pairs (corpus-corpus pairs inside a probed bucket are dropped BEFORE
+    * the distinct() shuffle), verify exact Jaccard from `sh`. */
+  private def deltaPairsFromBanded(corpusBanded: DataFrame,
+      deltaBanded: DataFrame, sh: DataFrame, cap: Int,
+      trueThreshold: Double): DataFrame = {
+    val union = corpusBanded.withColumn("is_delta", lit(false))
+      .unionByName(deltaBanded.withColumn("is_delta", lit(true)))
     val capped = capBuckets(union, Seq("band", "bkey"), cap)
-    // pair join keeps the delta flags so corpus-corpus pairs inside a
-    // probed bucket are dropped BEFORE the distinct() shuffle
     val keys = Seq(col("band"), col("bkey"))
     val pairIds = capped
       .select(keys :+ col("id").as("id_a") :+ col("is_delta").as("del_a"): _*)
@@ -511,8 +520,25 @@ object Dedup {
       .filter(col("del_a") || col("del_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val sh = idxDocs.unionByName(shingleTable(delta, idCol, textCol, k))
     verifyTrueJaccardSh(pairIds, sh, trueThreshold)
+  }
+
+  /** [[incrementalTrueJaccardPairs]]' predicate with BOTH sides in-flight
+    * (no persisted index): verified near-dup pairs touching the delta,
+    * for the case the corpus side is a small already-materialized table —
+    * e.g. the streaming accepted-so-far set before its periodic
+    * compaction into the index
+    * ([[graft.streaming.StreamingDedup]]). */
+  def deltaTrueJaccardPairs(corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, m: Int = 32, bands: Int = 16,
+      trueThreshold: Double = 0.5, k: Int = 3, maxBucket: Int = 0): DataFrame = {
+    val cap = effectiveCapN(corpus.count() + delta.count(), maxBucket)
+    val sh = shingleTable(corpus, idCol, textCol, k)
+      .unionByName(shingleTable(delta, idCol, textCol, k))
+    deltaPairsFromBanded(
+      bandedMinhash(corpus, idCol, textCol, m, bands, k),
+      bandedMinhash(delta, idCol, textCol, m, bands, k),
+      sh, cap, trueThreshold)
   }
 
   /** The delta docs that SURVIVE incremental dedup — the left_anti last

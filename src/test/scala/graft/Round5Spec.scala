@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.operators._
+import graft.streaming.StreamingDedup
 import org.apache.spark.sql.functions._
 
 /** Round-5 fixes: measured ANN recall for the pruned probe paths, Lloyd
@@ -198,6 +199,52 @@ class Round5Spec extends GraftSuite {
     assert(bandsOf(dir) == bandsOf(dir2))
     assert(docsOf(dir) == docsOf(dir2))
     Seq(dir, dir2).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+  }
+
+  test("streaming incremental dedup: accepted == batch incremental over the " +
+      "concatenation; replayed batchId is idempotent even after later batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def doc(seed: Int, n: Int) = (seed to seed + n).map(i => s"s$i").mkString(" ")
+    val corpus = (0 until 10).map(i => (i.toLong, doc(i * 1000, 40)))
+      .toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("graft_sdd_idx_").toString
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+    val b1 = Seq(
+      (100L, doc(2000, 40) + " x"), // near-dup of corpus 2 → dies (index)
+      (101L, doc(70000, 40)),       // unique → accepted
+      (102L, doc(80000, 40)))       // unique → accepted
+    val b2 = Seq(
+      (200L, doc(70000, 40) + " y"), // near-dup of b1-accepted 101 → dies (prior)
+      (201L, doc(5000, 40) + " z"),  // near-dup of corpus 5 → dies (index)
+      (202L, doc(90000, 40)),        // unique → accepted
+      (203L, doc(90000, 40) + " w")) // near-dup of 202 → dies (within batch)
+    val out = Files.createTempDirectory("graft_sdd_out_").toString
+    val ck = Files.createTempDirectory("graft_sdd_ck_").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingDedup.start(
+      ms.toDF.select($"_1".as("doc_id"), $"_2".as("text")), idx, out, ck)
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    def accepted() = StreamingDedup.readAccepted(spark, out)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(accepted() == Set(101L, 102L, 202L))
+    // ids ascend across batches, so arrival-order supersede == the batch
+    // min-id rule: streamed accepted set == one-shot incremental over the
+    // concatenated delta
+    val batchSurv = Dedup.incrementalNewDocs(spark, idx,
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchSurv == accepted())
+    // replay batch 1 AFTER its original commit (Spark redelivers a batchId
+    // on failure): dynamic overwrite of its own partition + the
+    // batch_id < 1 prior filter ⇒ state unchanged
+    StreamingDedup.commitBatch(idx, out, "doc_id", "text")(
+      b2.toDF("doc_id", "text"), 1L)
+    assert(accepted() == Set(101L, 102L, 202L))
+    Seq(idx, out, ck).foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
   }
 
