@@ -91,7 +91,11 @@ object Bench {
           (nn, Seq(w1, w2, c))
         } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
       }
-    val sec = (System.nanoTime() - t0) / 1e9
+    // staged sec = the sum of the measured phases (the marks stop at the
+    // final count) so the finally's stage-dir deletion is NOT in the
+    // timed window — the pre-r5 protocol's boundary, preserved
+    val sec =
+      if (phases.nonEmpty) phases.sum else (System.nanoTime() - t0) / 1e9
     // drop this run's persisted intermediates so repeats don't accumulate
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
@@ -131,14 +135,23 @@ object Bench {
     (1 to rounds).foreach { round =>
       val sLo = session(loCores)
       // the noop control runs ONCE per side, inside the first round's
-      // session so it shares the reps' window as closely as possible
-      if (staged && round == 1)
+      // session so it shares the reps' window as closely as possible. It
+      // runs TWICE and keeps the second: the first absorbs the session's
+      // cold start (codegen compile, JIT, parquet footers) so the kept
+      // noop is as warm as the best timed rep — otherwise
+      // io_write = best(w1) − cold(noop) is systematically biased low,
+      // even negative (observed at sf0.001)
+      if (staged && round == 1) {
+        noopRun(sLo, sfDir, mult) // warm-up, discarded
         lo = lo.copy(noop = Some(noopRun(sLo, sfDir, mult)))
+      }
       val (nn, tLo, phLo) = kgRun(sLo, sfDir, mult, staged)
       sLo.stop()
       val sHi = session(hiCores)
-      if (staged && round == 1)
+      if (staged && round == 1) {
+        noopRun(sHi, sfDir, mult) // warm-up, discarded
         hi = hi.copy(noop = Some(noopRun(sHi, sfDir, mult)))
+      }
       val (_, tHi, phHi) = kgRun(sHi, sfDir, mult, staged)
       sHi.stop()
       n = nn

@@ -536,9 +536,13 @@ object SparkEntry {
       val q = graft.streaming.StreamingDedup.start(
         ms.toDF.select($"_1".as("doc_id"), $"_2".as("text")),
         idx.toString, out.toString, ck.toString)
-      ms.addData(delta.take(delta.length / 2)); q.processAllAvailable()
-      ms.addData(delta.drop(delta.length / 2)); q.processAllAvailable()
-      q.stop()
+      // stop in finally: a commitBatch failure must not leak a live
+      // StreamingQuery (threads, listeners, checkpoint handles) into the
+      // shared Verify/Bench session that keeps running other queries
+      try {
+        ms.addData(delta.take(delta.length / 2)); q.processAllAvailable()
+        ms.addData(delta.drop(delta.length / 2)); q.processAllAvailable()
+      } finally q.stop()
       graft.streaming.StreamingDedup.readAccepted(s, out.toString)
         .select(col("doc_id").cast("long").as("doc_id"))
         .orderBy("doc_id")

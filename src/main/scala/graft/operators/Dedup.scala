@@ -113,10 +113,10 @@ object Dedup {
   private def effectiveCap(df: DataFrame, maxBucket: Int): Int =
     if (maxBucket > 0) maxBucket else effectiveCapN(df.count(), maxBucket)
 
-  /** Count-form of [[effectiveCap]] for callers that already know the doc
-    * count (the incremental path knows it from the index manifest count +
-    * the delta count without a second scan of either). */
-  private def effectiveCapN(nDocs: Long, maxBucket: Int): Int =
+  /** Count-form of [[effectiveCap]]. `nDocs` is by-name: when a caller
+    * passes a fixed positive cap, the (possibly job-launching) count is
+    * never evaluated. */
+  private def effectiveCapN(nDocs: => Long, maxBucket: Int): Int =
     if (maxBucket > 0) maxBucket
     else math.min(math.max(1000L, (nDocs + 1) / 2), Int.MaxValue.toLong).toInt
 
@@ -444,16 +444,26 @@ object Dedup {
     *    for file count — at cluster scale raise it with the corpus.
     *  - `path/docs` — the (id, sh) [[shingleTable]] the exact-Jaccard
     *    verify needs, computed once here, never re-derived from text.
+    *  - `path/meta` — one n_docs row per build/append (full doc counts,
+    *    summed by the probe's cap arithmetic).
     * Ids must be unique across corpus ∪ any future delta (the ingest
     * contract — Ingest.validate's duplicate-upload guard upstream). */
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, m: Int = 32, bands: Int = 16, k: Int = 3,
       nShards: Int = 64): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
     bandedMinhash(df, idCol, textCol, m, bands, k)
       .withColumn("bshard", pmod(col("bkey"), lit(nShards.toLong)))
       .write.mode("overwrite").partitionBy("bshard").parquet(s"$path/bands")
     shingleTable(df, idCol, textCol, k)
       .write.mode("overwrite").parquet(s"$path/docs")
+    // FULL doc count (short docs included — `docs` excludes them), so the
+    // incremental cap is computed on the same corpus∪delta count as the
+    // batch path's effectiveCap(df) and the equality contract holds on
+    // short-doc-heavy corpora too
+    Seq(df.count()).toDF("n_docs")
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Append a delta batch to an existing index (the accept-and-extend half
@@ -464,11 +474,15 @@ object Dedup {
   def appendToMinhashIndex(delta: DataFrame, idCol: String, textCol: String,
       path: String, m: Int = 32, bands: Int = 16, k: Int = 3,
       nShards: Int = 64): Unit = {
+    val spark = delta.sparkSession
+    import spark.implicits._
     bandedMinhash(delta, idCol, textCol, m, bands, k)
       .withColumn("bshard", pmod(col("bkey"), lit(nShards.toLong)))
       .write.mode("append").partitionBy("bshard").parquet(s"$path/bands")
     shingleTable(delta, idCol, textCol, k)
       .write.mode("append").parquet(s"$path/docs")
+    Seq(delta.count()).toDF("n_docs")
+      .write.mode("append").parquet(s"$path/meta")
   }
 
   /** Verified near-dup pairs TOUCHING the delta: delta×corpus plus the
@@ -496,7 +510,14 @@ object Dedup {
     val idxBanded = spark.read.parquet(s"$path/bands")
       .filter(col("bshard").isin(shards: _*))
       .select(col("id"), col("band"), col("bkey"))
-    val cap = effectiveCapN(idxDocs.count() + delta.count(), maxBucket)
+    // cap basis = the index's recorded FULL doc count (meta) + the delta's
+    // full count — the same corpus∪delta basis as the batch path (the
+    // `docs` shingle table undercounts by the short docs); by-name, so a
+    // fixed positive maxBucket skips both counts entirely
+    val cap = effectiveCapN(
+      spark.read.parquet(s"$path/meta").agg(sum(col("n_docs"))).head().getLong(0)
+        + delta.count(),
+      maxBucket)
     val sh = idxDocs.unionByName(shingleTable(delta, idCol, textCol, k))
     deltaPairsFromBanded(idxBanded, deltaBanded, sh, cap, trueThreshold)
   }

@@ -388,16 +388,21 @@ object Similarity {
       k: Int, bits: Int = 12, prefixBits: Int = 6,
       probeHamming: Int = 2): DataFrame = {
     import spark.implicits._
-    val sigOf = queries.map { case (qid, q) =>
-      qid -> spark.range(1)
-        .select(lshSignature(array(q.map(lit): _*), bits).as("s")).head().getLong(0)
+    // ONE job computes every query's signature (a per-query
+    // spark.range(1).head() would launch |queries| driver round-trips),
+    // and each query's probe ball is enumerated once and reused for both
+    // the probe pairs and the prefix union
+    val sigOf = queries.toDF("qid", "q")
+      .select(col("qid"), lshSignature(col("q"), bits).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probesOf = queries.map { case (qid, _) =>
+      qid -> probeSigs(sigOf(qid), bits, probeHamming)
     }.toMap
     val probePairs = broadcast(queries.flatMap { case (qid, q) =>
-      probeSigs(sigOf(qid), bits, probeHamming).map(sig => (qid, sig, q))
+      probesOf(qid).map(sig => (qid, sig, q))
     }.toDF("query_id", "psig", "qvec"))
-    val allPrefixes = queries.flatMap { case (qid, _) =>
-      probeSigs(sigOf(qid), bits, probeHamming).map(_ >>> (bits - prefixBits))
-    }.distinct
+    val allPrefixes = probesOf.values.flatten.toSeq
+      .map(_ >>> (bits - prefixBits)).distinct
     val idx = spark.read.parquet(s"$path/vectors")
     val cands = idx
       .filter(col("lsh_prefix").isin(allPrefixes: _*)) // partition pruning

@@ -8,44 +8,64 @@ import org.apache.spark.sql.streaming.StreamingQuery
 /** Streaming incremental dedup: new documents arrive as a stream and each
   * micro-batch is deduplicated against (1) the persisted minhash band-key
   * index of the historical corpus ([[Dedup.buildMinhashIndex]] — a
-  * partition-pruned probe, zero corpus re-signature), (2) everything this
-  * stream has already ACCEPTED (earlier micro-batches), and (3) itself
-  * (within-batch supersede). Survivors land under
-  * `outDir/accepted/batch_id=N`.
+  * partition-pruned probe, zero corpus re-signature), (2) every document
+  * the stream has already SEEN (earlier micro-batches — accepted or not),
+  * and (3) itself (within-batch supersede). Survivors land under
+  * `outDir/accepted/batch_id=N`; each batch's full input is journaled
+  * under `outDir/seen/batch_id=N`.
+  *
+  * Deduping against SEEN (not just accepted) is what makes the streamed
+  * result equal the one-shot batch rule on every corpus: the batch rule
+  * ([[Dedup.incrementalNewDocs]], and its SQL oracle) kills a doc that
+  * pairs with ANY smaller-id delta doc, whether or not that doc itself
+  * survived — first occurrence wins, a later twin of a dead doc is still
+  * a dup. Dedup-vs-accepted-only would let a doc chain back to life
+  * across a batch boundary (corpus a ≈ dead b ≈ new c with a ̸≈ c) and
+  * silently diverge from the oracle on corpora containing such chains.
   *
   * This is the 100 TB ingest loop (reference analogue: the queue's
   * duplicate-upload guard + supersede semantics, `src/app.py:1191-1208,
   * 1232-1285`, restated over a stream): the big immutable corpus is
-  * probed through its index; the small accepted-so-far tail is deduped
+  * probed through its index; the small seen-so-far tail is deduped
   * in-flight ([[Dedup.deltaTrueJaccardPairs]]) until an offline
   * compaction folds it into the index ([[Dedup.appendToMinhashIndex]]) —
-  * after which the accepted dirs it covered can be retired. The
+  * after which the seen/accepted dirs it covered can be retired. The
   * in-flight tail's cost grows with the tail, not the corpus, which is
   * exactly what compaction bounds.
   *
-  * Replay safety (Spark redelivers a batchId after a failure): accepted
-  * rows are written with dynamic partition overwrite under their own
-  * `batch_id` partition, and the prior-accepted read is filtered to
-  * `batch_id < batchId` — a replayed batch sees exactly the prior state
-  * its first run saw and overwrites exactly its own output (tested,
-  * including replay-after-later-batches). */
+  * Replay safety (Spark redelivers a batchId after a failure): both
+  * outputs are written with a write-scoped dynamic partition overwrite
+  * under their own `batch_id` partition, and the prior-seen read is
+  * filtered to `batch_id < batchId` — a replayed batch sees exactly the
+  * prior state its first run saw and overwrites exactly its own output
+  * (tested, including replay-after-later-batches). The overwrite mode is
+  * a per-write `.option`, never a session-wide conf mutation (a session
+  * flipped to dynamic would silently change every later
+  * `mode("overwrite").partitionBy` rebuild in the same session into a
+  * partial overwrite). */
 object StreamingDedup {
 
-  /** One idempotent micro-batch: probe index → dedup vs prior accepted →
-    * within-batch supersede → write survivors under batch_id. */
+  private def writeDynamic(df: DataFrame, path: String, batchId: Long): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** One idempotent micro-batch: probe index → dedup vs prior seen →
+    * within-batch supersede → journal the batch, write survivors. */
   def commitBatch(indexPath: String, outDir: String, idCol: String,
       textCol: String)(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // vs the indexed corpus + within-batch (smaller id survives)
     val s1 = Dedup.incrementalNewDocs(spark, indexPath, batch, idCol, textCol)
-    val survivors = priorAccepted(spark, outDir, batchId, idCol, textCol) match {
+    val survivors = priorSeen(spark, outDir, batchId, idCol, textCol) match {
       case None => s1
       case Some(prior) =>
-        // prior docs are immutable-accepted: ANY verified pair with one
-        // kills the new doc, regardless of id order (same rule as the
-        // corpus side of incrementalNewDocs)
+        // ANY verified pair with a previously-seen doc kills the new doc
+        // (first occurrence wins — see the object scaladoc for why seen,
+        // not accepted, is the set that matches the batch rule)
         val cross = Dedup.deltaTrueJaccardPairs(prior, s1, idCol, textCol)
         val pIds = prior.select(col(idCol).as("pid"))
         val victims = cross.join(pIds, col("id_a") === col("pid"))
@@ -55,17 +75,17 @@ object StreamingDedup {
           .distinct()
         s1.join(victims, s1(idCol) === col("victim"), "left_anti")
     }
-    survivors.withColumn("batch_id", lit(batchId))
-      .write.mode(SaveMode.Overwrite).partitionBy("batch_id")
-      .parquet(s"$outDir/accepted")
+    writeDynamic(batch.select(col(idCol), col(textCol)),
+      s"$outDir/seen", batchId)
+    writeDynamic(survivors, s"$outDir/accepted", batchId)
   }
 
-  /** The stream's own accepted output from STRICTLY EARLIER batches —
-    * the filter is what makes a replayed batchId deterministic even after
-    * later batches have committed. None before the first commit. */
-  private def priorAccepted(spark: SparkSession, outDir: String,
+  /** Every doc from STRICTLY EARLIER batches — the filter is what makes a
+    * replayed batchId deterministic even after later batches have
+    * committed. None before the first commit. */
+  private def priorSeen(spark: SparkSession, outDir: String,
       batchId: Long, idCol: String, textCol: String): Option[DataFrame] = {
-    val dir = new java.io.File(s"$outDir/accepted")
+    val dir = new java.io.File(s"$outDir/seen")
     if (!dir.exists()) None
     else {
       val prior = spark.read.parquet(dir.toString)

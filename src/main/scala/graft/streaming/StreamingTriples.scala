@@ -49,14 +49,18 @@ object StreamingTriples {
       nBuckets: Int = 16)(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val gazB = spark.sparkContext.broadcast(gaz)
     val mentions = MentionExtractor.extract(Segmentation.segments(batch), gazB).toDF()
     val linked = Linking.link(mentions, gazDf)
     val triples = Triples.all(Aggregation.perTurn(linked), batch)
       .withColumn("bucket", GraphSink.bucketCol(nBuckets))
       .withColumn("batch_id", lit(batchId))
+    // dynamic overwrite as a WRITE-SCOPED option, not a session conf flip:
+    // a session left in dynamic mode silently turns every later
+    // mode("overwrite").partitionBy rebuild in the same session into a
+    // partial overwrite that keeps stale partitions
     triples.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "bucket").parquet(s"$dir/triples")
     // The manifest commit must be as idempotent as the data commit: a
     // redelivered batchId re-runs this whole function, and an APPEND here
@@ -65,7 +69,9 @@ object StreamingTriples {
     // overwrite makes the replay overwrite exactly its own rows.
     GraphSink.metrics(triples)
       .withColumn("run_id", concat(lit("batch-"), lit(batchId)))
-      .write.mode(SaveMode.Overwrite).partitionBy("run_id")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id")
       .parquet(GraphSink.manifestPath(dir))
   }
 
