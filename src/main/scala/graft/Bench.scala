@@ -458,9 +458,9 @@ object Bench {
       try {
         val docs = s.read.parquet(s"$sfDir/documents.parquet")
         (operators.Dedup.minhashDroppedBuckets(docs, "doc_id", "text",
-          m = 32, bands = 16).count(),
+          m = 32, bands = 16, maxBucket = 1000).count(),
           operators.Dedup.simhashDroppedBuckets(docs, "doc_id", "text",
-            nBlocks = 4).count(),
+            maxBucket = 1000, nBlocks = 4).count(),
           operators.Dedup.minhashDroppedBuckets(docs, "doc_id", "text",
             m = 32, bands = 16, maxBucket = 0).count(),
           operators.Dedup.simhashDroppedBuckets(docs, "doc_id", "text",

@@ -134,9 +134,13 @@ object Dedup {
 
   /** Buckets [[minhashLshPairs]] would skip at this `maxBucket` (same
     * params ⇒ same banding): (band, bkey, bucket_n). Zero rows ⇒ the cap
-    * dropped no candidate pairs. */
+    * dropped no candidate pairs. `maxBucket` has NO default on purpose:
+    * the audited surfaces default differently (near-dup pairs 1000,
+    * recall surfaces 0 = corpus-sized), so an audit run with a defaulted
+    * cap could report drops the surface never makes — the caller must
+    * state the cap of the surface it is auditing. */
   def minhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
-      m: Int = 32, bands: Int = 8, k: Int = 3, maxBucket: Int = 1000): DataFrame =
+      m: Int = 32, bands: Int = 8, k: Int = 3, maxBucket: Int): DataFrame =
     droppedBuckets(bandedMinhash(df, idCol, textCol, m, bands, k),
       Seq("band", "bkey"), effectiveCap(df, maxBucket))
 
@@ -304,9 +308,10 @@ object Dedup {
     * (nBlocks = 8) would skip at this `maxBucket`: (block, bkey, bucket_n).
     * Zero rows ⇒ the cap dropped no candidate pairs. Audit with the SAME
     * nBlocks as the surface being certified — the two blockings bucket
-    * differently. */
+    * differently. `maxBucket` has no default (see
+    * [[minhashDroppedBuckets]]): state the audited surface's cap. */
   def simhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
-      maxBucket: Int = 1000, nBlocks: Int = 4): DataFrame =
+      maxBucket: Int, nBlocks: Int = 4): DataFrame =
     droppedBuckets(blockedSimhash(df, idCol, textCol, nBlocks),
       Seq("block", "bkey"), effectiveCap(df, maxBucket))
 
@@ -501,7 +506,13 @@ object Dedup {
       path: String, delta: DataFrame, idCol: String, textCol: String,
       m: Int = 32, bands: Int = 16, trueThreshold: Double = 0.5, k: Int = 3,
       nShards: Int = 64, maxBucket: Int = 0): DataFrame = {
-    val deltaBanded = bandedMinhash(delta, idCol, textCol, m, bands, k)
+    // the delta is read ≥3 times below (banding, shingles, count) and its
+    // upstream may be an arbitrary transformation: one eager local
+    // checkpoint evaluates that lineage exactly once (delta = an ingest
+    // batch, small relative to the corpus by design; the blocks are
+    // reclaimed by the session's persistent-RDD sweep)
+    val d = delta.select(col(idCol), col(textCol)).localCheckpoint()
+    val deltaBanded = bandedMinhash(d, idCol, textCol, m, bands, k)
     // bounded driver collect: at most nShards values by construction
     val shards = deltaBanded
       .select(pmod(col("bkey"), lit(nShards.toLong)).as("bshard"))
@@ -516,9 +527,9 @@ object Dedup {
     // fixed positive maxBucket skips both counts entirely
     val cap = effectiveCapN(
       spark.read.parquet(s"$path/meta").agg(sum(col("n_docs"))).head().getLong(0)
-        + delta.count(),
+        + d.count(),
       maxBucket)
-    val sh = idxDocs.unionByName(shingleTable(delta, idCol, textCol, k))
+    val sh = idxDocs.unionByName(shingleTable(d, idCol, textCol, k))
     deltaPairsFromBanded(idxBanded, deltaBanded, sh, cap, trueThreshold)
   }
 
