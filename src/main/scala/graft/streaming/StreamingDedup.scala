@@ -104,7 +104,23 @@ object StreamingDedup {
       .foreachBatch(commitBatch(indexPath, outDir, idCol, textCol) _)
       .start()
 
-  /** Read back everything the stream has accepted so far. */
-  def readAccepted(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/accepted")
+  /** Read back everything the stream has accepted so far. When every
+    * committed batch was fully deduped, `accepted/` holds no data files
+    * (a dynamic overwrite of an empty frame writes no partitions) and a
+    * bare parquet read cannot infer a schema — fall back to an empty
+    * frame with the seen journal's (id, text, batch_id) schema, which
+    * exists whenever ANY batch committed. */
+  def readAccepted(spark: SparkSession, outDir: String): DataFrame = {
+    def hasParquet(d: java.io.File): Boolean =
+      d.isDirectory && d.listFiles().exists(f =>
+        hasParquet(f) || (f.isFile && f.getName.endsWith(".parquet")))
+    val acc = new java.io.File(s"$outDir/accepted")
+    if (hasParquet(acc)) spark.read.parquet(acc.toString)
+    else {
+      val seen = new java.io.File(s"$outDir/seen")
+      require(hasParquet(seen),
+        s"$outDir: no committed batches (neither accepted nor seen data)")
+      spark.read.parquet(seen.toString).limit(0)
+    }
+  }
 }

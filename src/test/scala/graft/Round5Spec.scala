@@ -248,6 +248,53 @@ class Round5Spec extends GraftSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
   }
 
+  test("streaming dedup kills a dup chain spanning micro-batches (dead doc's " +
+      "later twin): streamed == batch rule, seen-set not accepted-set") {
+    // corpus a ≈ b (batch 1, dies vs index), b ≈ c (batch 2), a ̸≈ c:
+    // the batch rule kills c (pairs with smaller-id delta doc b, dead or
+    // not); dedup-vs-accepted-only would let c chain back to life. Exact
+    // Jaccard arithmetic (k=3 word shingles, threshold 0.5):
+    //   J(a,b) = 38/68 ≈ 0.559 ≥ 0.5   J(b,c) = 65/71 ≈ 0.915 ≥ 0.5
+    //   J(a,c) = 35/71 ≈ 0.493 < 0.5  (one substituted word kills 3 of
+    //   a's 38 shingles in c) — so only the seen set can kill c.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def words(seed: Int, n: Int) = (seed until seed + n).map(i => s"s$i")
+    val aText = words(0, 40).mkString(" ")
+    val bText = (words(0, 40) ++ words(50000, 30)).mkString(" ")
+    val cText = (words(0, 40).updated(20, "zz") ++ words(50000, 30))
+      .mkString(" ")
+    val corpus = Seq((0L, aText), (1L, words(90000, 40).mkString(" ")))
+      .toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("graft_sdc_idx_").toString
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+    val out = Files.createTempDirectory("graft_sdc_out_").toString
+    val ck = Files.createTempDirectory("graft_sdc_ck_").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingDedup.start(
+      ms.toDF.select($"_1".as("doc_id"), $"_2".as("text")), idx, out, ck)
+    try {
+      ms.addData(Seq((100L, bText))); q.processAllAvailable()
+      ms.addData(Seq((101L, cText))); q.processAllAvailable()
+    } finally q.stop()
+    val accepted = StreamingDedup.readAccepted(spark, out)
+      .select($"doc_id").as[Long].collect().toSet
+    // sanity: the chain is as constructed — c really is out of the
+    // index's reach (J(a,c) < 0.5), so its death proves the seen set
+    val cAloneSurvives = Dedup.incrementalNewDocs(spark, idx,
+        Seq((101L, cText)).toDF("doc_id", "text"), "doc_id", "text")
+      .count() == 1
+    assert(cAloneSurvives, "fixture drift: c should NOT pair with the corpus")
+    assert(accepted == Set.empty[Long]) // b dead vs index, c dead vs seen b
+    val batchSurv = Dedup.incrementalNewDocs(spark, idx,
+        Seq((100L, bText), (101L, cText)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchSurv == accepted)
+    Seq(idx, out, ck).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+  }
+
   test("index appends: IVF append keeps full-probe exactness over the union " +
       "under the build-time codebook; LSH append == rebuild exactly") {
     val base = clusteredEmb(120, 6).cache()
