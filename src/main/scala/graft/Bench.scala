@@ -223,7 +223,9 @@ object Bench {
         case (Some(nLo), Some(nHi)) if lo.phases.nonEmpty && hi.phases.nonEmpty =>
           val w1Lo = lo.phases.map(_.head).min
           val w1Hi = hi.phases.map(_.head).min
-          val noopEff = (n / nHi) / ((hiCores.toDouble / loCores) * (n / nLo))
+          // (noop-lo / noop-hi) / core-ratio — the triple count cancels
+          // out of the noop control's efficiency (the noop writes nothing)
+          val noopEff = (nLo / nHi) / (hiCores.toDouble / loCores)
           s""","phases_lo":${lo.phases.map(arr).mkString("[", ",", "]")}""" +
             s""","phases_hi":${hi.phases.map(arr).mkString("[", ",", "]")}""" +
             f""","ctl_noop_sec_lo":$nLo%.3f,"ctl_noop_sec_hi":$nHi%.3f""" +

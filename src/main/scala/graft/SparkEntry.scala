@@ -34,6 +34,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The fixed query-vector set of BOTH ANN recall surfaces (vec_id < n,
+    * id-sorted) — one definition so sim_ivf_recall and sim_lsh_recall
+    * cannot drift onto different query sets while claiming a shared
+    * protocol. Bounded driver collect: n rows by construction. */
+  private def fixedQueryVecs(emb: DataFrame, n: Int): Seq[(Long, Seq[Double])] =
+    emb.filter(col("vec_id") < n)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq.sortBy(_._1)
+
   /** Flagship: full KG construction — transcripts to triples, through the
     * production path end to end: stage tables (extraction runs once) and
     * the resumable bucketed GraphSink, returning the sink READ-BACK. */
@@ -510,8 +520,10 @@ object SparkEntry {
 
     // the STREAMING ingest loop over the same split: the delta arrives as
     // a real Structured-Streaming source in two id-ordered micro-batches,
-    // each deduped vs the corpus index + the stream's own prior accepted
-    // output + itself (StreamingDedup; replay idempotence is
+    // each deduped vs the corpus index + every doc the stream has already
+    // SEEN (accepted or not — dedup vs accepted-only would resurrect dup
+    // chains across batch boundaries; see StreamingDedup's scaladoc and
+    // Round5Spec's chain test) + itself (replay idempotence is
     // Round5Spec-tested). With id-ordered batches the arrival-order
     // supersede equals the batch min-id rule, so the accepted set is
     // gated by the SAME survivors SQL as dd_incremental_new
@@ -633,10 +645,7 @@ object SparkEntry {
     // intentionally reddens these rows until re-measured.
     "sim_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
-        .toSeq.sortBy(_._1)
+      val queries = fixedQueryVecs(emb, 20)
       val idx = java.nio.file.Files.createTempDirectory("graft_ivf_rec")
       org.apache.commons.io.FileUtils.forceDeleteOnExit(idx.toFile)
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx.toString)
@@ -645,10 +654,7 @@ object SparkEntry {
     }),
     "sim_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
-        .toSeq.sortBy(_._1)
+      val queries = fixedQueryVecs(emb, 20)
       val idx = java.nio.file.Files.createTempDirectory("graft_lsh_rec")
       org.apache.commons.io.FileUtils.forceDeleteOnExit(idx.toFile)
       Similarity.buildLshIndex(emb, "vec_id", "embedding", idx.toString)

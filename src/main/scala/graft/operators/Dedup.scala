@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data deduplication suite (builder brief): exact,
@@ -442,15 +442,18 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** Build the persisted index of a corpus. Layout:
-    *  - `path/bands` — (id, band, bkey) partitioned by
+    *  - `path/bands` — (id, band, bkey) partitioned by `epoch` (0 at
+    *    build, the caller-supplied batch id per append) and
     *    `bshard = pmod(bkey, nShards)`: a delta probe reads only the
     *    shards its own band keys hash to (parquet partition pruning,
-    *    plan-asserted in Round5Spec). nShards trades pruning granularity
-    *    for file count — at cluster scale raise it with the corpus.
+    *    plan-asserted in Round5Spec — pruning on bshard is unaffected by
+    *    the epoch nesting). nShards trades pruning granularity for file
+    *    count — at cluster scale raise it with the corpus.
     *  - `path/docs` — the (id, sh) [[shingleTable]] the exact-Jaccard
-    *    verify needs, computed once here, never re-derived from text.
-    *  - `path/meta` — one n_docs row per build/append (full doc counts,
-    *    summed by the probe's cap arithmetic).
+    *    verify needs, computed once here, never re-derived from text;
+    *    partitioned by `epoch` for the same replay scoping.
+    *  - `path/meta` — one n_docs row per epoch (full doc counts, summed
+    *    by the probe's cap arithmetic).
     * Ids must be unique across corpus ∪ any future delta (the ingest
     * contract — Ingest.validate's duplicate-upload guard upstream). */
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
@@ -460,34 +463,96 @@ object Dedup {
     import spark.implicits._
     bandedMinhash(df, idCol, textCol, m, bands, k)
       .withColumn("bshard", pmod(col("bkey"), lit(nShards.toLong)))
-      .write.mode("overwrite").partitionBy("bshard").parquet(s"$path/bands")
+      .withColumn("epoch", lit(0L))
+      .write.mode("overwrite").partitionBy("epoch", "bshard")
+      .parquet(s"$path/bands")
     shingleTable(df, idCol, textCol, k)
-      .write.mode("overwrite").parquet(s"$path/docs")
+      .withColumn("epoch", lit(0L))
+      .write.mode("overwrite").partitionBy("epoch").parquet(s"$path/docs")
     // FULL doc count (short docs included — `docs` excludes them), so the
     // incremental cap is computed on the same corpus∪delta count as the
     // batch path's effectiveCap(df) and the equality contract holds on
     // short-doc-heavy corpora too
     Seq(df.count()).toDF("n_docs")
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .withColumn("epoch", lit(0L))
+      .write.mode("overwrite").partitionBy("epoch").parquet(s"$path/meta")
   }
+
+  /** Sum of the index's recorded FULL doc counts (build + every appended
+    * epoch) — the corpus side of the incremental cap basis, and the
+    * count [[graft.streaming.StreamingDedup]] folds into its own
+    * corpus∪seen∪batch basis. */
+  def indexedDocCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long =
+    spark.read.parquet(s"$path/meta")
+      .agg(sum(col("n_docs"))).head().getLong(0)
+
+  /** The corpus-sized bucket cap for an explicitly-known doc count —
+    * public so callers that assemble the basis themselves (the streaming
+    * loop: index + seen tail + batch) use the SAME cap arithmetic as the
+    * batch surfaces. */
+  def capForDocs(nDocs: Long): Int = effectiveCapN(nDocs, 0)
 
   /** Append a delta batch to an existing index (the accept-and-extend half
     * of the supersede loop: probe first with
     * [[incrementalTrueJaccardPairs]] / [[incrementalNewDocs]], then append
     * what you kept). Same banding params as the build or the index is
-    * corrupt — appended == rebuilt is equality-tested in Round5Spec. */
+    * corrupt — appended == rebuilt is equality-tested in Round5Spec.
+    *
+    * `epoch` must uniquely identify this delta batch (> 0; 0 is the
+    * build). The write is a dynamic partition overwrite scoped to this
+    * epoch's partitions, so a RETRIED append (the crash-and-retry reality
+    * of any scheduled ingest job) replaces its own previous output
+    * instead of silently duplicating index rows — duplicated (id, sh)
+    * rows would multiply verify-join rows and double-count the cap basis.
+    * Replay idempotence is Round5Spec-tested. */
   def appendToMinhashIndex(delta: DataFrame, idCol: String, textCol: String,
-      path: String, m: Int = 32, bands: Int = 16, k: Int = 3,
+      path: String, epoch: Long, m: Int = 32, bands: Int = 16, k: Int = 3,
       nShards: Int = 64): Unit = {
+    require(epoch > 0, s"append epoch must be > 0 (0 is the build), got $epoch")
     val spark = delta.sparkSession
     import spark.implicits._
-    bandedMinhash(delta, idCol, textCol, m, bands, k)
-      .withColumn("bshard", pmod(col("bkey"), lit(nShards.toLong)))
-      .write.mode("append").partitionBy("bshard").parquet(s"$path/bands")
-    shingleTable(delta, idCol, textCol, k)
-      .write.mode("append").parquet(s"$path/docs")
-    Seq(delta.count()).toDF("n_docs")
-      .write.mode("append").parquet(s"$path/meta")
+    def dyn(df: DataFrame, cols: Seq[String], sub: String): Unit =
+      df.withColumn("epoch", lit(epoch))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(cols: _*).parquet(s"$path/$sub")
+    dyn(bandedMinhash(delta, idCol, textCol, m, bands, k)
+      .withColumn("bshard", pmod(col("bkey"), lit(nShards.toLong))),
+      Seq("epoch", "bshard"), "bands")
+    dyn(shingleTable(delta, idCol, textCol, k), Seq("epoch"), "docs")
+    dyn(Seq(delta.count()).toDF("n_docs"), Seq("epoch"), "meta")
+  }
+
+  /** Fold a multi-epoch index (build + any number of appends) back into
+    * a single-epoch build at `dstPath` — the maintenance operator that
+    * bounds what sustained appends grow without bound: epoch partition
+    * dirs (listing cost per probe) and small files (one per append per
+    * shard). The rewrite is repartitioned by bshard so each shard lands
+    * as ONE file regardless of how many appends fed it. Blue/green by
+    * design: the compacted copy is written to a DIFFERENT path and the
+    * caller's orchestrator flips its index pointer when done (the
+    * reference swaps ES aliases the same way, `src/app.py:1191-1208`) —
+    * an in-place rewrite would have a crash window with no readable
+    * index at all. Content equality with a from-scratch rebuild and
+    * probe-result equality are Round5Spec-tested. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    import spark.implicits._
+    spark.read.parquet(s"$srcPath/bands")
+      .select(col("id"), col("band"), col("bkey"),
+        col("bshard").cast("long").as("bshard"))
+      .repartition(col("bshard"))
+      .withColumn("epoch", lit(0L))
+      .write.mode("overwrite").partitionBy("epoch", "bshard")
+      .parquet(s"$dstPath/bands")
+    spark.read.parquet(s"$srcPath/docs")
+      .select(col("id"), col("sh"))
+      .withColumn("epoch", lit(0L))
+      .write.mode("overwrite").partitionBy("epoch").parquet(s"$dstPath/docs")
+    Seq(indexedDocCount(spark, srcPath)).toDF("n_docs")
+      .withColumn("epoch", lit(0L))
+      .write.mode("overwrite").partitionBy("epoch").parquet(s"$dstPath/meta")
   }
 
   /** Verified near-dup pairs TOUCHING the delta: delta×corpus plus the
@@ -517,7 +582,10 @@ object Dedup {
     val shards = deltaBanded
       .select(pmod(col("bkey"), lit(nShards.toLong)).as("bshard"))
       .distinct().collect().map(_.getLong(0))
+    // explicit selects: the index tables carry an `epoch` partition
+    // column (replay scoping) the probe must not leak into its joins
     val idxDocs = spark.read.parquet(s"$path/docs")
+      .select(col("id"), col("sh"))
     val idxBanded = spark.read.parquet(s"$path/bands")
       .filter(col("bshard").isin(shards: _*))
       .select(col("id"), col("band"), col("bkey"))
@@ -525,10 +593,7 @@ object Dedup {
     // full count — the same corpus∪delta basis as the batch path (the
     // `docs` shingle table undercounts by the short docs); by-name, so a
     // fixed positive maxBucket skips both counts entirely
-    val cap = effectiveCapN(
-      spark.read.parquet(s"$path/meta").agg(sum(col("n_docs"))).head().getLong(0)
-        + d.count(),
-      maxBucket)
+    val cap = effectiveCapN(indexedDocCount(spark, path) + d.count(), maxBucket)
     val sh = idxDocs.unionByName(shingleTable(d, idCol, textCol, k))
     deltaPairsFromBanded(idxBanded, deltaBanded, sh, cap, trueThreshold)
   }

@@ -207,8 +207,25 @@ object Similarity {
       sampleCentroids(emb, idCol, vecCol, nCentroids), lloydIters)
     centroids.toSeq.toDF("cid", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    emb.withColumn("ivf_cid", assignCol(centroids, vecCol))
-      .write.mode("overwrite").partitionBy("ivf_cid").parquet(s"$path/vectors")
+    writeEpochPartitioned(
+      emb.withColumn("ivf_cid", assignCol(centroids, vecCol)),
+      s"$path/vectors", "ivf_cid", epoch = 0L, build = true)
+  }
+
+  /** Shared epoch-scoped vectors writer of both persisted ANN indexes:
+    * the build writes everything under `epoch=0`; an append writes a
+    * dynamic partition overwrite scoped to its own epoch, so a RETRIED
+    * append job replaces its previous (possibly partial) output instead
+    * of duplicating index rows — the same replay contract as
+    * [[Dedup.appendToMinhashIndex]] and the streaming sink. Partition
+    * pruning on `listCol` (ivf_cid / lsh_prefix) is unaffected by the
+    * epoch nesting (plan-asserted in the index specs). */
+  private def writeEpochPartitioned(df: DataFrame, dir: String,
+      listCol: String, epoch: Long, build: Boolean): Unit = {
+    val w = df.withColumn("epoch", lit(epoch))
+      .write.mode("overwrite")
+    (if (build) w else w.option("partitionOverwriteMode", "dynamic"))
+      .partitionBy("epoch", listCol).parquet(dir)
   }
 
   /** Append a delta of vectors to a persisted IVF index (the embedding
@@ -219,29 +236,65 @@ object Similarity {
     * so an append never moves existing list boundaries and the full-probe
     * exactness contract over corpus ∪ delta is preserved by construction
     * (tested). Centroid drift under sustained appends is a rebuild
-    * decision, not an append-time side effect. */
+    * decision, not an append-time side effect. `epoch` uniquely names
+    * this batch (> 0); a retry of the same epoch is idempotent. */
   def appendToIvfIndex(delta: DataFrame, idCol: String, vecCol: String,
-      path: String): Unit = {
+      path: String, epoch: Long): Unit = {
+    require(epoch > 0, s"append epoch must be > 0 (0 is the build), got $epoch")
     val spark = delta.sparkSession
     val centroids: Array[(Long, Seq[Double])] =
       spark.read.parquet(s"$path/centroids").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    delta.withColumn("ivf_cid", assignCol(centroids, vecCol))
-      .write.mode("append").partitionBy("ivf_cid").parquet(s"$path/vectors")
+    writeEpochPartitioned(
+      delta.withColumn("ivf_cid", assignCol(centroids, vecCol)),
+      s"$path/vectors", "ivf_cid", epoch, build = false)
+  }
+
+  /** The (lsh_sig, lsh_prefix) signature derivation shared by the LSH
+    * index build and append — one definition so the two write paths can't
+    * drift (a prefix derived differently on append would corrupt the
+    * index silently). */
+  private def withLshColumns(emb: DataFrame, vecCol: String, bits: Int,
+      prefixBits: Int): DataFrame = {
+    require(prefixBits > 0 && prefixBits <= bits && bits <= 62,
+      s"need 0 < prefixBits <= bits <= 62, got prefixBits=$prefixBits bits=$bits")
+    emb.withColumn("lsh_sig", lshSignature(col(vecCol), bits))
+      .withColumn("lsh_prefix",
+        shiftrightunsigned(col("lsh_sig"), bits - prefixBits))
+  }
+
+  /** Fold a multi-epoch ANN index (IVF or LSH — `listCol` is ivf_cid or
+    * lsh_prefix) into a single-epoch copy at `dstPath`, one file per
+    * list: the vectors twin of [[Dedup.compactMinhashIndex]], bounding
+    * the epoch-dir and small-file growth of sustained appends. The IVF
+    * codebook is copied verbatim (it is what makes the lists mean
+    * anything); blue/green — the caller flips its index pointer when the
+    * copy is complete. */
+  def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, listCol: String): Unit = {
+    spark.read.parquet(s"$srcPath/vectors")
+      .drop("epoch")
+      .withColumn(listCol, col(listCol).cast("long"))
+      .repartition(col(listCol))
+      .withColumn("epoch", lit(0L))
+      .write.mode("overwrite").partitionBy("epoch", listCol)
+      .parquet(s"$dstPath/vectors")
+    val centroids = new java.io.File(s"$srcPath/centroids")
+    if (centroids.exists())
+      spark.read.parquet(centroids.toString)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dstPath/centroids")
   }
 
   /** Append to a persisted LSH signature index. The signature is a pure
     * function of the vector (data-independent hyperplanes), so an append
     * is EXACTLY a rebuild over corpus ∪ delta (content-equality tested) —
-    * no codebook to hold fixed, no drift caveat. */
+    * no codebook to hold fixed, no drift caveat. `epoch` uniquely names
+    * this batch (> 0); a retry of the same epoch is idempotent. */
   def appendToLshIndex(delta: DataFrame, idCol: String, vecCol: String,
-      path: String, bits: Int = 12, prefixBits: Int = 6): Unit = {
-    require(prefixBits > 0 && prefixBits <= bits && bits <= 62,
-      s"need 0 < prefixBits <= bits <= 62, got prefixBits=$prefixBits bits=$bits")
-    delta.withColumn("lsh_sig", lshSignature(col(vecCol), bits))
-      .withColumn("lsh_prefix",
-        shiftrightunsigned(col("lsh_sig"), bits - prefixBits))
-      .write.mode("append").partitionBy("lsh_prefix").parquet(s"$path/vectors")
+      path: String, epoch: Long, bits: Int = 12, prefixBits: Int = 6): Unit = {
+    require(epoch > 0, s"append epoch must be > 0 (0 is the build), got $epoch")
+    writeEpochPartitioned(withLshColumns(delta, vecCol, bits, prefixBits),
+      s"$path/vectors", "lsh_prefix", epoch, build = false)
   }
 
   /** ANN top-k served from a [[buildIvfIndex]] table: route the query on
@@ -270,14 +323,9 @@ object Similarity {
     * work (the in-flight [[lshTopK]] recomputes every row's signature per
     * call). */
   def buildLshIndex(emb: DataFrame, idCol: String, vecCol: String,
-      path: String, bits: Int = 12, prefixBits: Int = 6): Unit = {
-    require(prefixBits > 0 && prefixBits <= bits && bits <= 62,
-      s"need 0 < prefixBits <= bits <= 62, got prefixBits=$prefixBits bits=$bits")
-    emb.withColumn("lsh_sig", lshSignature(col(vecCol), bits))
-      .withColumn("lsh_prefix",
-        shiftrightunsigned(col("lsh_sig"), bits - prefixBits))
-      .write.mode("overwrite").partitionBy("lsh_prefix").parquet(s"$path/vectors")
-  }
+      path: String, bits: Int = 12, prefixBits: Int = 6): Unit =
+    writeEpochPartitioned(withLshColumns(emb, vecCol, bits, prefixBits),
+      s"$path/vectors", "lsh_prefix", epoch = 0L, build = true)
 
   /** ANN top-k served from a [[buildLshIndex]] table. Probe set = the query
     * signature plus all 1-bit flips — the SAME probes as [[lshTopK]], so
@@ -376,7 +424,7 @@ object Similarity {
       .join(probePairs, col("ivf_cid") === col("cid"))
       .select(col("query_id"), col(idCol),
         round(cosine(col(vecCol), col("qvec")), 6).as("cos"))
-    recallOf(cands, spark.read.parquet(s"$path/vectors"), idCol, vecCol, queries, k)
+    recallOf(cands, idx, idCol, vecCol, queries, k)
   }
 
   /** MEASURED recall@k of the pruned multi-probe LSH path vs
@@ -409,7 +457,7 @@ object Similarity {
       .join(probePairs, col("lsh_sig") === col("psig"))
       .select(col("query_id"), col(idCol),
         round(cosine(col(vecCol), col("qvec")), 6).as("cos"))
-    recallOf(cands, spark.read.parquet(s"$path/vectors"), idCol, vecCol, queries, k)
+    recallOf(cands, idx, idCol, vecCol, queries, k)
   }
 
   /** Exact all-pairs cosine ≥ threshold (oracle-checkable baseline; the

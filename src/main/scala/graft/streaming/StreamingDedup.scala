@@ -27,11 +27,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * duplicate-upload guard + supersede semantics, `src/app.py:1191-1208,
   * 1232-1285`, restated over a stream): the big immutable corpus is
   * probed through its index; the small seen-so-far tail is deduped
-  * in-flight ([[Dedup.deltaTrueJaccardPairs]]) until an offline
-  * compaction folds it into the index ([[Dedup.appendToMinhashIndex]]) —
-  * after which the seen/accepted dirs it covered can be retired. The
-  * in-flight tail's cost grows with the tail, not the corpus, which is
-  * exactly what compaction bounds.
+  * in-flight ([[Dedup.deltaTrueJaccardPairs]]) until an offline fold
+  * appends it into the index ([[Dedup.appendToMinhashIndex]], epoch =
+  * the batch range folded) — after which the seen/accepted dirs it
+  * covered can be retired, and a periodic
+  * [[Dedup.compactMinhashIndex]] rewrites the accumulated epochs
+  * blue/green into one. The in-flight tail's cost grows with the tail,
+  * not the corpus, which is exactly what the fold bounds.
   *
   * Replay safety (Spark redelivers a batchId after a failure): both
   * outputs are written with a write-scoped dynamic partition overwrite
@@ -53,20 +55,45 @@ object StreamingDedup {
       .parquet(path)
 
   /** One idempotent micro-batch: probe index → dedup vs prior seen →
-    * within-batch supersede → journal the batch, write survivors. */
+    * within-batch supersede → journal the batch, write survivors. Also
+    * drops a zero-row `_schema` parquet once, so [[readAccepted]] can
+    * return a typed empty frame even when every committed batch was
+    * empty (a dynamic overwrite of an empty frame writes no files at
+    * all — without the sentinel an all-empty stream had no schema
+    * anywhere on disk and readback threw instead of returning empty).
+    *
+    * The bucket cap of BOTH pair computations is sized from the full
+    * corpus∪seen∪batch doc count — the same corpus-sized basis the batch
+    * rule ([[Dedup.incrementalNewDocs]] over the concatenated delta)
+    * computes from index meta + delta count. Left to their defaults, the
+    * index probe would use only index+batch and the seen-tail cross-check
+    * only prior+batch; on a corpus large enough that max(1000, n/2)
+    * binds differently across those bases, the streamed and batch paths
+    * could cap (and silently drop) different buckets and diverge. */
   def commitBatch(indexPath: String, outDir: String, idCol: String,
       textCol: String)(batch: DataFrame, batchId: Long): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
+    val schemaDir = new java.io.File(s"$outDir/_schema")
+    if (!schemaDir.exists())
+      batch.select(col(idCol), col(textCol))
+        .withColumn("batch_id", lit(-1L)).limit(0)
+        .write.mode(SaveMode.Overwrite).parquet(schemaDir.toString)
+    if (batch.isEmpty) return
+    val prior = priorSeen(spark, outDir, batchId, idCol, textCol)
+    val cap = Dedup.capForDocs(
+      Dedup.indexedDocCount(spark, indexPath)
+        + prior.map(_.count()).getOrElse(0L) + batch.count())
     // vs the indexed corpus + within-batch (smaller id survives)
-    val s1 = Dedup.incrementalNewDocs(spark, indexPath, batch, idCol, textCol)
-    val survivors = priorSeen(spark, outDir, batchId, idCol, textCol) match {
+    val s1 = Dedup.incrementalNewDocs(spark, indexPath, batch, idCol,
+      textCol, maxBucket = cap)
+    val survivors = prior match {
       case None => s1
       case Some(prior) =>
         // ANY verified pair with a previously-seen doc kills the new doc
         // (first occurrence wins — see the object scaladoc for why seen,
         // not accepted, is the set that matches the batch rule)
-        val cross = Dedup.deltaTrueJaccardPairs(prior, s1, idCol, textCol)
+        val cross = Dedup.deltaTrueJaccardPairs(prior, s1, idCol, textCol,
+          maxBucket = cap)
         val pIds = prior.select(col(idCol).as("pid"))
         val victims = cross.join(pIds, col("id_a") === col("pid"))
             .select(col("id_b").as("victim"))
@@ -105,22 +132,26 @@ object StreamingDedup {
       .start()
 
   /** Read back everything the stream has accepted so far. When every
-    * committed batch was fully deduped, `accepted/` holds no data files
-    * (a dynamic overwrite of an empty frame writes no partitions) and a
-    * bare parquet read cannot infer a schema — fall back to an empty
-    * frame with the seen journal's (id, text, batch_id) schema, which
-    * exists whenever ANY batch committed. */
+    * committed batch was fully deduped — or every delivered batch was
+    * empty — `accepted/` holds no data files (a dynamic overwrite of an
+    * empty frame writes no partitions) and a bare parquet read cannot
+    * infer a schema: fall back to an empty frame with the seen journal's
+    * (id, text, batch_id) schema, and failing that the zero-row
+    * `_schema` sentinel [[commitBatch]] writes on its first invocation
+    * (empty batches included). */
   def readAccepted(spark: SparkSession, outDir: String): DataFrame = {
     def hasParquet(d: java.io.File): Boolean =
       d.isDirectory && d.listFiles().exists(f =>
         hasParquet(f) || (f.isFile && f.getName.endsWith(".parquet")))
     val acc = new java.io.File(s"$outDir/accepted")
+    val seen = new java.io.File(s"$outDir/seen")
+    val sentinel = new java.io.File(s"$outDir/_schema")
     if (hasParquet(acc)) spark.read.parquet(acc.toString)
+    else if (hasParquet(seen)) spark.read.parquet(seen.toString).limit(0)
     else {
-      val seen = new java.io.File(s"$outDir/seen")
-      require(hasParquet(seen),
-        s"$outDir: no committed batches (neither accepted nor seen data)")
-      spark.read.parquet(seen.toString).limit(0)
+      require(sentinel.exists(),
+        s"$outDir: no committed batches (no accepted/seen data, no _schema)")
+      spark.read.parquet(sentinel.toString)
     }
   }
 }

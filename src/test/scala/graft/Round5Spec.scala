@@ -186,8 +186,11 @@ class Round5Spec extends GraftSuite {
     // 5 delta docs × 16 bands = ≤ 80 keys, but the pruning contract is
     // per-key: selected shards ≤ distinct delta shards < total populated
     assert(bandScan.selectedPartitions.partitionCount < totalShards)
-    // append == rebuild: same banding params ⇒ identical index content
-    Dedup.appendToMinhashIndex(delta, "doc_id", "text", dir)
+    // append == rebuild: same banding params ⇒ identical index content;
+    // appending the same epoch TWICE (a retried ingest job) must too —
+    // the epoch-scoped dynamic overwrite replaces, never duplicates
+    Dedup.appendToMinhashIndex(delta, "doc_id", "text", dir, epoch = 1L)
+    Dedup.appendToMinhashIndex(delta, "doc_id", "text", dir, epoch = 1L)
     val dir2 = Files.createTempDirectory("graft_inc_idx2_").toString
     Dedup.buildMinhashIndex(all, "doc_id", "text", dir2)
     def bandsOf(p: String) = spark.read.parquet(s"$p/bands")
@@ -198,6 +201,13 @@ class Round5Spec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
     assert(bandsOf(dir) == bandsOf(dir2))
     assert(docsOf(dir) == docsOf(dir2))
+    // set equality would mask duplicated rows — row counts and the meta
+    // doc-count sum (the cap basis) must ALSO match the clean rebuild
+    for (sub <- Seq("bands", "docs"))
+      assert(spark.read.parquet(s"$dir/$sub").count()
+        == spark.read.parquet(s"$dir2/$sub").count(), sub)
+    assert(Dedup.indexedDocCount(spark, dir)
+      == Dedup.indexedDocCount(spark, dir2))
     Seq(dir, dir2).foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
   }
@@ -304,7 +314,11 @@ class Round5Spec extends GraftSuite {
     val ivfDir = Files.createTempDirectory("graft_ivf_app_").toString
     Similarity.buildIvfIndex(corpus, "vec_id", "embedding", ivfDir,
       nCentroids = 6)
-    Similarity.appendToIvfIndex(delta, "vec_id", "embedding", ivfDir)
+    Similarity.appendToIvfIndex(delta, "vec_id", "embedding", ivfDir,
+      epoch = 1L)
+    // retried append (same epoch): idempotent, not duplicating
+    Similarity.appendToIvfIndex(delta, "vec_id", "embedding", ivfDir,
+      epoch = 1L)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val q = base.filter($"vec_id" === 93).head()
@@ -322,16 +336,88 @@ class Round5Spec extends GraftSuite {
     Similarity.buildLshIndex(corpus, "vec_id", "embedding", d1,
       bits = 8, prefixBits = 3)
     Similarity.appendToLshIndex(delta, "vec_id", "embedding", d1,
-      bits = 8, prefixBits = 3)
+      epoch = 1L, bits = 8, prefixBits = 3)
+    // retried append (same epoch): idempotent, not duplicating
+    Similarity.appendToLshIndex(delta, "vec_id", "embedding", d1,
+      epoch = 1L, bits = 8, prefixBits = 3)
     Similarity.buildLshIndex(base, "vec_id", "embedding", d2,
       bits = 8, prefixBits = 3)
     def content(p: String) = spark.read.parquet(s"$p/vectors")
       .select($"vec_id", $"lsh_sig", $"lsh_prefix".cast("long"))
       .collect().map(_.toSeq).toSet
     assert(content(d1) == content(d2))
+    // and no row duplication from the retried append (toSet would mask it)
+    assert(spark.read.parquet(s"$d1/vectors").count()
+      == spark.read.parquet(s"$d2/vectors").count())
+    assert(spark.read.parquet(s"$ivfDir/vectors").count() == 120)
     Seq(ivfDir, d1, d2).foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     base.unpersist()
+  }
+
+  test("index compaction folds multi-epoch indexes to one epoch, one file " +
+      "per shard, identical probe results") {
+    def doc(seed: Int, n: Int) = (seed to seed + n).map(i => s"s$i").mkString(" ")
+    val corpus = (0 until 8).map(i => (i.toLong, doc(i * 1000, 40)))
+      .toDF("doc_id", "text")
+    val src = Files.createTempDirectory("graft_cmp_src_").toString
+    val dst = Files.createTempDirectory("graft_cmp_dst_").toString + "/idx"
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", src)
+    Dedup.appendToMinhashIndex(
+      Seq((100L, doc(0, 40) + " t1"), (101L, doc(50000, 40)))
+        .toDF("doc_id", "text"), "doc_id", "text", src, epoch = 1L)
+    Dedup.appendToMinhashIndex(
+      Seq((200L, doc(1000, 40) + " t2")).toDF("doc_id", "text"),
+      "doc_id", "text", src, epoch = 2L)
+    Dedup.compactMinhashIndex(spark, src, dst)
+    // identical probe results against the compacted copy
+    val probe = Seq((300L, doc(0, 40) + " q"), (301L, doc(50000, 40) + " q2"))
+      .toDF("doc_id", "text")
+    def pairs(p: String) = Dedup.incrementalTrueJaccardPairs(spark, p, probe,
+        "doc_id", "text")
+      .select($"id_a".cast("long"), $"id_b".cast("long"), $"jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(dst) == pairs(src) && pairs(dst).nonEmpty)
+    assert(Dedup.indexedDocCount(spark, dst) == Dedup.indexedDocCount(spark, src))
+    // single epoch dir, exactly one parquet file per bshard
+    def dirs(p: String, pre: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith(pre))
+    assert(dirs(s"$dst/bands", "epoch=").map(_.getName).toSeq == Seq("epoch=0"))
+    assert(dirs(s"$dst/bands/epoch=0", "bshard=").forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    // vectors twin: LSH index compaction preserves content and top-k
+    val base = clusteredEmb(120, 6).cache(); base.count()
+    val v1 = Files.createTempDirectory("graft_cmp_v1_").toString
+    val v2 = Files.createTempDirectory("graft_cmp_v2_").toString + "/idx"
+    Similarity.buildLshIndex(base.filter($"vec_id" < 90), "vec_id",
+      "embedding", v1, bits = 8, prefixBits = 3)
+    Similarity.appendToLshIndex(base.filter($"vec_id" >= 90), "vec_id",
+      "embedding", v1, epoch = 1L, bits = 8, prefixBits = 3)
+    Similarity.compactVectorIndex(spark, v1, v2, "lsh_prefix")
+    assert(spark.read.parquet(s"$v2/vectors").count() == 120)
+    assert(dirs(s"$v2/vectors", "epoch=").map(_.getName).toSeq == Seq("epoch=0"))
+    val q = base.filter($"vec_id" === 93).head().getSeq[Float](1)
+      .map(_.toDouble).toSeq
+    def top(p: String) = Similarity.lshTopKIndexed(spark, p, "vec_id",
+        "embedding", q, 7, bits = 8, prefixBits = 3, probeAll = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(v2) == top(v1))
+    Seq(src, dst, v1, v2).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    base.unpersist()
+  }
+
+  test("readAccepted returns a typed empty frame when every committed " +
+      "batch was empty (the _schema sentinel)") {
+    val out = Files.createTempDirectory("graft_sde_out_").toString
+    // an empty batch journals nothing (dynamic overwrite of an empty
+    // frame writes no files) — only the sentinel gives readback a schema
+    StreamingDedup.commitBatch("/nonexistent_index", out, "doc_id", "text")(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 0L)
+    val acc = StreamingDedup.readAccepted(spark, out)
+    assert(acc.count() == 0)
+    assert(acc.columns.toSet == Set("doc_id", "text", "batch_id"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
   test("LSH-bucketed embedding near-dup pairs ⊆ exact pairs (corpus-" +
