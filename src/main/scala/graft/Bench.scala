@@ -24,7 +24,13 @@ import org.apache.spark.sql.SparkSession
   * at both core pairs. Since r5 the per-query block is certified the same
   * way (bracketing probes, best-of-2 reps, re-run-once-keep-both), and the
   * staged blocks carry a phase decomposition + noop compute control so the
-  * single-disk Amdahl fraction is measured, not narrated.
+  * single-disk Amdahl fraction is measured, not narrated. Since r6 the
+  * decomposition is WINDOW-PROOF (noop measured per round in the same
+  * session as its rep, io_write derived from same-session pairs, negative
+  * values clamped + flagged, compute_eff < end-to-end flagged
+  * self-inconsistent) and the per-query block carries a fixed Spark canary
+  * timed at block start/middle/end so absolute window speed is
+  * normalizable from a single artifact.
   */
 object Bench {
 
@@ -113,10 +119,22 @@ object Bench {
 
   /** One measured side of a scaling block: per-rep seconds, per-rep staged
     * phase decompositions (empty for the pure shape), and the side's
-    * compute-only noop control (staged blocks only). */
+    * compute-only noop controls — ONE PER ROUND, each measured in the same
+    * session as that round's rep (staged blocks only). r5's protocol
+    * measured the noop once, in round 1's session, then subtracted it from
+    * a best-rep possibly taken in a different window — the official r5
+    * artifact shipped io_write_sec_hi = -8.182 (negative IO) and a
+    * compute_eff below the end-to-end efficiency it was meant to explain
+    * (VERDICT r5 wrong #1). Pairing per round keeps every w1 − noop
+    * subtraction inside one session's window. */
   private final case class Side(reps: Seq[Double], phases: Seq[Seq[Double]],
-      noop: Option[Double]) {
+      noops: Seq[Double]) {
     def best: Double = reps.min
+    def bestNoop: Option[Double] = if (noops.isEmpty) None else Some(noops.min)
+    /** Same-session io_write estimates: round i's write phase minus round
+      * i's noop — never a cross-window subtraction. */
+    def ioWriteReps: Seq[Double] =
+      phases.map(_.head).zip(noops).map { case (w1, n) => w1 - n }
   }
 
   /** Host interference on this shared VM arrives in multi-minute windows
@@ -130,27 +148,29 @@ object Bench {
   private def interleaved(sfDir: String, loCores: Int, hiCores: Int,
       mult: Int, rounds: Int, staged: Boolean = false): (Long, Side, Side) = {
     var n = 0L
-    var lo = Side(Nil, Nil, None)
-    var hi = Side(Nil, Nil, None)
+    var lo = Side(Nil, Nil, Nil)
+    var hi = Side(Nil, Nil, Nil)
     (1 to rounds).foreach { round =>
       val sLo = session(loCores)
-      // the noop control runs ONCE per side, inside the first round's
-      // session so it shares the reps' window as closely as possible. It
-      // runs TWICE and keeps the second: the first absorbs the session's
-      // cold start (codegen compile, JIT, parquet footers) so the kept
-      // noop is as warm as the best timed rep — otherwise
-      // io_write = best(w1) − cold(noop) is systematically biased low,
-      // even negative (observed at sf0.001)
-      if (staged && round == 1) {
-        noopRun(sLo, sfDir, mult) // warm-up, discarded
-        lo = lo.copy(noop = Some(noopRun(sLo, sfDir, mult)))
+      // the noop control runs once per ROUND per side, in the SAME session
+      // as that round's rep (VERDICT r5 next #1: a single round-1 noop
+      // subtracted from a best-rep in a different window shipped negative
+      // io_write in the official r5 artifact). In round 1 it runs TWICE
+      // and keeps the second: the first absorbs the session's cold start
+      // (codegen compile, JIT, parquet footers) so the kept noop is as
+      // warm as the timed rep — otherwise io_write = w1 − cold(noop) is
+      // systematically biased low, even negative (observed at sf0.001).
+      // Later rounds inherit the JVM-wide warmth; one measurement suffices.
+      if (staged) {
+        if (round == 1) noopRun(sLo, sfDir, mult) // warm-up, discarded
+        lo = lo.copy(noops = lo.noops :+ noopRun(sLo, sfDir, mult))
       }
       val (nn, tLo, phLo) = kgRun(sLo, sfDir, mult, staged)
       sLo.stop()
       val sHi = session(hiCores)
-      if (staged && round == 1) {
-        noopRun(sHi, sfDir, mult) // warm-up, discarded
-        hi = hi.copy(noop = Some(noopRun(sHi, sfDir, mult)))
+      if (staged) {
+        if (round == 1) noopRun(sHi, sfDir, mult) // warm-up, discarded
+        hi = hi.copy(noops = hi.noops :+ noopRun(sHi, sfDir, mult))
       }
       val (_, tHi, phHi) = kgRun(sHi, sfDir, mult, staged)
       sHi.stop()
@@ -214,23 +234,39 @@ object Bench {
       val thrHi = n / secHi
       val eff = thrHi / ((hiCores.toDouble / loCores) * thrLo)
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-      // staged-shape decomposition (VERDICT r4 missing #2): per-rep phase
-      // triples [w1, w2, consume], per-side noop compute controls, and the
-      // derived disk-write seconds io_write = best(w1) − noop — the
-      // arithmetic form of the single-disk Amdahl claim (a ~core-count-
-      // independent io_write against a noop that scales like the pure DAG)
-      val staged = (lo.noop, hi.noop) match {
+      // staged-shape decomposition (VERDICT r4 missing #2, window-proofed
+      // per VERDICT r5 next #1): per-rep phase triples [w1, w2, consume],
+      // per-ROUND noop compute controls measured in the same session as
+      // their rep, and io_write derived from SAME-SESSION pairs
+      // (io_write_reps = [w1_i − noop_i]) — the arithmetic form of the
+      // single-disk Amdahl claim (a ~core-count-independent io_write
+      // against a noop that scales like the pure DAG). The headline
+      // io_write_sec is the min paired diff, clamped at 0 with an explicit
+      // flag (negative disk seconds are measurement noise, never physics),
+      // and a compute_eff BELOW the end-to-end efficiency it is supposed
+      // to lower-bound is flagged self-inconsistent instead of shipping
+      // silently (official r5: compute_eff 0.268 under an end-to-end
+      // 0.381, io_write_sec_hi -8.182).
+      val staged = (lo.bestNoop, hi.bestNoop) match {
         case (Some(nLo), Some(nHi)) if lo.phases.nonEmpty && hi.phases.nonEmpty =>
-          val w1Lo = lo.phases.map(_.head).min
-          val w1Hi = hi.phases.map(_.head).min
+          def ioJson(side: Side, tag: String): String = {
+            val reps = side.ioWriteReps
+            val clamped = reps.min < 0
+            f""","io_write_reps_$tag":${arr(reps)}""" +
+              f""","io_write_sec_$tag":${math.max(0.0, reps.min)}%.3f""" +
+              (if (clamped) s""","io_write_clamped_$tag":true""" else "")
+          }
           // (noop-lo / noop-hi) / core-ratio — the triple count cancels
           // out of the noop control's efficiency (the noop writes nothing)
           val noopEff = (nLo / nHi) / (hiCores.toDouble / loCores)
           s""","phases_lo":${lo.phases.map(arr).mkString("[", ",", "]")}""" +
             s""","phases_hi":${hi.phases.map(arr).mkString("[", ",", "]")}""" +
+            s""","ctl_noop_reps_lo":${arr(lo.noops)}""" +
+            s""","ctl_noop_reps_hi":${arr(hi.noops)}""" +
             f""","ctl_noop_sec_lo":$nLo%.3f,"ctl_noop_sec_hi":$nHi%.3f""" +
-            f""","io_write_sec_lo":${w1Lo - nLo}%.3f,"io_write_sec_hi":${w1Hi - nHi}%.3f""" +
-            f""","compute_eff":$noopEff%.3f"""
+            ioJson(lo, "lo") + ioJson(hi, "hi") +
+            f""","compute_eff":$noopEff%.3f""" +
+            (if (noopEff < eff) s""","decomp_inconsistent":true""" else "")
         case _ => ""
       }
       f"""{"cores_lo":$loCores,"cores_hi":$hiCores,"triples":$n,""" +
@@ -347,28 +383,56 @@ object Bench {
     * and is excluded from the timed results (a partial elapsed time of a
     * crash is not a timing, and letting it into `total` would make
     * round-over-round comparisons crash-shaped instead of
-    * performance-shaped). */
+    * performance-shaped). `canary` holds three best-of-3 timings of one
+    * FIXED Spark mini-pipeline (the q01 hash-agg shape) taken at block
+    * start / middle / end — the ALU/bw probes certify the window's
+    * RATIOS but are blind to absolute Spark-side degradation (disk,
+    * scheduler, co-tenant), so r5's official per-query block read 1.5-2.4×
+    * above four same-HEAD committed runs and was adjudicable only because
+    * those extra runs existed (VERDICT r5 next #2). The canary makes one
+    * artifact self-normalizing: a query that moved WITH the canary moved
+    * with the window; a query that moved against a flat canary regressed. */
   private final case class QueryAttempt(results: Seq[(String, Seq[Double])],
-      failures: List[(String, String)], pre: Probe, post: Probe) {
+      failures: List[(String, String)], pre: Probe, post: Probe,
+      canary: Seq[Double]) {
     def disagreement: Double = pre.disagreement(post)
     def certified: Boolean = disagreement <= 0.25
+    def canaryJson: String =
+      s""""canary_sec":${canary.map(x => f"$x%.3f").mkString("[", ",", "]")},""" +
+        f""""canary_sec_best":${canary.min}%.3f"""
     /** Compact form for the discarded-attempt slot: per-query best times +
       * the probes that flagged the window. */
     def compactJson: String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v.min}%.3f" }
         .mkString("{", ",", "}")
       f"""{"queries":$qs,"ctl_pre":${pre.json},"ctl_post":${post.json},""" +
-        f""""ctl_disagreement":$disagreement%.3f,"n_failed":${failures.size}}"""
+        f""""ctl_disagreement":$disagreement%.3f,$canaryJson,""" +
+        f""""n_failed":${failures.size}}"""
     }
   }
+
+  /** The canary pipeline: best-of-3 of the fixed q01 hash-agg shape over
+    * the round's pinned corpus. Deliberately a REAL Spark job (scan +
+    * shuffle + agg + count) so it degrades with whatever degrades the
+    * queries, and cheap enough (~0.5s warm) to run three times per block. */
+  private def canaryRun(s: SparkSession, sfDir: String): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q01_agg")(s, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
 
   private def queryAttempt(sfDir: String, reps: Int = 2): QueryAttempt = {
     val pre = probe()
     val s32 = session(32)
     var failures = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => oracleOnly.contains(name) }
-      .flatMap { case (name, fn) =>
+    val mid = named.size / 2
+    var canary = List(canaryRun(s32, sfDir)) // block start
+    val results = named.zipWithIndex
+      .flatMap { case ((name, fn), qi) =>
+        if (qi == mid) canary :+= canaryRun(s32, sfDir) // block middle
         var times = List.empty[Double]
         var ok = true
         var r = 0
@@ -392,8 +456,9 @@ object Bench {
         }
         if (ok) Some(name -> times.toSeq) else None
       }
+    canary :+= canaryRun(s32, sfDir) // block end
     s32.stop()
-    QueryAttempt(results, failures, pre, probe())
+    QueryAttempt(results, failures, pre, probe(), canary)
   }
 
   def main(args: Array[String]): Unit = {
@@ -504,6 +569,7 @@ object Bench {
     val qCtl = f""""queries_ctl_pre":${qAtt.pre.json},""" +
       f""""queries_ctl_post":${qAtt.post.json},""" +
       f""""queries_ctl_disagreement":${qAtt.disagreement}%.3f,""" +
+      s"""${qAtt.canaryJson},""" +
       s""""queries_window_certified":${qAtt.certified}""" +
       qDiscarded.map(d => s""","queries_discarded_attempt":${d.compactJson}""")
         .getOrElse("")

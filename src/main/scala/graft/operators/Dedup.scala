@@ -505,7 +505,15 @@ object Dedup {
     * of any scheduled ingest job) replaces its own previous output
     * instead of silently duplicating index rows — duplicated (id, sh)
     * rows would multiply verify-join rows and double-count the cap basis.
-    * Replay idempotence is Round5Spec-tested. */
+    * Replay idempotence is Round5Spec-tested.
+    *
+    * Crash window (ADVICE r5): the three tables are three separate jobs,
+    * written bands → docs → META LAST. The meta row is the epoch's COMMIT
+    * MARKER — a crash between jobs leaves bands/docs rows whose epoch is
+    * absent from meta, and the probe ([[incrementalTrueJaccardPairs]])
+    * reads only meta-committed epochs, so a partially-appended epoch is
+    * invisible (no silently-dropped verify joins, no undercounted cap
+    * basis) until the retry completes it. */
   def appendToMinhashIndex(delta: DataFrame, idCol: String, textCol: String,
       path: String, epoch: Long, m: Int = 32, bands: Int = 16, k: Int = 3,
       nShards: Int = 64): Unit = {
@@ -535,7 +543,15 @@ object Dedup {
     * reference swaps ES aliases the same way, `src/app.py:1191-1208`) —
     * an in-place rewrite would have a crash window with no readable
     * index at all. Content equality with a from-scratch rebuild and
-    * probe-result equality are Round5Spec-tested. */
+    * probe-result equality are Round5Spec-tested.
+    *
+    * Quiesce contract (ADVICE r5): in-flight [[appendToMinhashIndex]]
+    * jobs against `srcPath` must be fenced before compacting — a late
+    * retry of an epoch already folded into the compacted copy would
+    * re-add that epoch's rows and duplicate the index. Epoch ids must
+    * stay monotonic ACROSS compactions: never reuse an epoch id that was
+    * folded (appends to the compacted index continue from the highest
+    * pre-compaction epoch + 1, even though the copy itself is epoch 0). */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       srcPath: String, dstPath: String): Unit = {
     import spark.implicits._
@@ -582,12 +598,21 @@ object Dedup {
     val shards = deltaBanded
       .select(pmod(col("bkey"), lit(nShards.toLong)).as("bshard"))
       .distinct().collect().map(_.getLong(0))
+    // meta is written LAST by build/append — its epochs are the commit
+    // markers (ADVICE r5): bands/docs rows from a crashed half-append
+    // carry an epoch absent from meta and must be invisible to the probe,
+    // or the verify join silently drops that epoch's pairs while the cap
+    // basis undercounts. Bounded collect: one meta row per append.
+    val committedEpochs = spark.read.parquet(s"$path/meta")
+      .select(col("epoch").cast("long")).collect().map(_.getLong(0))
     // explicit selects: the index tables carry an `epoch` partition
     // column (replay scoping) the probe must not leak into its joins
     val idxDocs = spark.read.parquet(s"$path/docs")
+      .filter(col("epoch").isin(committedEpochs: _*))
       .select(col("id"), col("sh"))
     val idxBanded = spark.read.parquet(s"$path/bands")
-      .filter(col("bshard").isin(shards: _*))
+      .filter(col("epoch").isin(committedEpochs: _*)
+        && col("bshard").isin(shards: _*))
       .select(col("id"), col("band"), col("bkey"))
     // cap basis = the index's recorded FULL doc count (meta) + the delta's
     // full count — the same corpus∪delta basis as the batch path (the
