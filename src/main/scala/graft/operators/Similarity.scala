@@ -488,8 +488,9 @@ object Similarity {
       queries: Seq[(Long, Seq[Double])], nProbe: Int): Double = {
     val centroids = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // partition-inferred ivf_cid reads back as int — cast before collect
     val sizes = spark.read.parquet(s"$path/vectors")
-      .groupBy(col("ivf_cid")).count().collect()
+      .groupBy(col("ivf_cid").cast("long").as("cid")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val n = sizes.values.sum.toDouble
     queries.map { case (_, q) =>
@@ -509,7 +510,7 @@ object Similarity {
       .select(col("qid"), lshSignature(col("q"), bits).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val sizes = spark.read.parquet(s"$path/vectors")
-      .groupBy(col("lsh_sig")).count().collect()
+      .groupBy(col("lsh_sig").cast("long").as("sig")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val n = sizes.values.sum.toDouble
     queries.map { case (qid, _) =>
