@@ -109,6 +109,60 @@ class Round6Spec extends GraftSuite {
     rmAll(idx, idx0, outLocal, ck)
   }
 
+  test("full index lifecycle: stream -> fold -> blue/green compact -> " +
+      "pointer flip -> stream on, with a second fold at a monotonic epoch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def doc(seed: Int, n: Int) = (seed until seed + n).map(i => s"l$i").mkString(" ")
+    val corpus = Seq((0L, doc(0, 40)), (1L, doc(90000, 40)))
+      .toDF("doc_id", "text")
+    val b1 = Seq((100L, doc(0, 40) + " x"),   // dies vs corpus 0
+                 (101L, doc(60000, 40)))      // accepted
+    val b2 = Seq((200L, doc(70000, 40)))      // accepted
+    val b3 = Seq((300L, doc(60000, 40) + " y"), // dies vs FOLDED+COMPACTED 101
+                 (301L, doc(62000, 40)))        // accepted
+    val b4 = Seq((400L, doc(62000, 40) + " z")) // dies vs post-flip tail 301
+    val idx = Files.createTempDirectory("graft_lc_idx_").toString
+    val idx0 = Files.createTempDirectory("graft_lc_idx0_").toString
+    val idx2 = Files.createTempDirectory("graft_lc_idx2_").toString + "/green"
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx0)
+    val out = Files.createTempDirectory("graft_lc_out_").toString
+    val ck = Files.createTempDirectory("graft_lc_ck_").toString
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDF.select($"_1".as("doc_id"), $"_2".as("text"))
+    val q1 = StreamingDedup.start(stream, idx, out, ck)
+    try {
+      ms.addData(b1); q1.processAllAvailable()
+      ms.addData(b2); q1.processAllAvailable()
+    } finally q1.stop()
+    // fold batches 0-1 (epoch 2), then compact blue -> green and FLIP
+    StreamingDedup.foldAndRetire(spark, idx, out, uptoBatch = 1L)
+    Dedup.compactMinhashIndex(spark, idx, idx2)
+    // compaction preserves the probe AND the doc-count cap basis
+    assert(Dedup.indexedDocCount(spark, idx2) ==
+      Dedup.indexedDocCount(spark, idx))
+    val q2 = StreamingDedup.start(stream, idx2, out, ck)
+    try {
+      ms.addData(b3); q2.processAllAvailable()
+      ms.addData(b4); q2.processAllAvailable()
+    } finally q2.stop()
+    // second fold AGAINST THE COMPACTED index: epoch = 3+1 = 4 > the
+    // compacted copy's epoch 0 — monotonic by construction, never reused
+    StreamingDedup.foldAndRetire(spark, idx2, out, uptoBatch = 3L)
+    assert(spark.read.parquet(s"$idx2/meta")
+      .select($"epoch".cast("long")).collect().map(_.getLong(0)).toSet ==
+      Set(0L, 4L))
+    val acceptedIds = StreamingDedup.readAccepted(spark, out)
+      .select($"doc_id").as[Long].collect().toSet
+    val oneShot = Dedup.incrementalNewDocs(spark, idx0,
+        (b1 ++ b2 ++ b3 ++ b4).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(acceptedIds == oneShot)
+    assert(acceptedIds == Set(101L, 200L, 301L))
+    rmAll(idx, idx0, idx2, out, ck)
+  }
+
   test("a half-appended epoch (no meta commit marker) is invisible to the " +
       "probe; the retried append completes it") {
     def doc(seed: Int, n: Int) = (seed to seed + n).map(i => s"h$i").mkString(" ")
