@@ -85,6 +85,24 @@ object Pipeline {
   // staged-shape Amdahl cap; measured 0.569 -> 0.731 at 2→8)
   private val V2 = "mapreduce.fileoutputcommitter.algorithm.version" -> "2"
 
+  /** Stage tables are BUCKETED by `conv_id` (r6, VERDICT r5 next #5): every
+    * consumer of the read-back — the per-turn agg (keys (conv,turn,source,
+    * code)), the asserts branch's role join (keys (conv,turn)) and its
+    * per-conv merge (keys (conv,source,code)) — requires only a clustering
+    * that hash-partitioning on `conv_id` already satisfies, so the bucketed
+    * scan deletes the read-back Exchange outright (plan-asserted in
+    * PipelineSpec). The write repartitions by the bucket key first — one
+    * healthy file per bucket (the shuffle-free alternative scatters
+    * nTasks × nBuckets tiny row groups and measured 1.35× slower end-to-
+    * end) — so the shuffle the r5 shape paid TWICE on read-back (agg +
+    * join) is paid exactly ONCE, at write time. Bucketing needs the
+    * session catalog, so stage tables get a dir-scoped table name next to
+    * their parquet path. */
+  private val StageBuckets = 32
+
+  private[graft] def stageTable(stageDir: String, name: String): String =
+    s"graft_stage_${name}_${java.lang.Integer.toHexString(stageDir.hashCode)}"
+
   /** Staged phase 1: extraction + linking computed once, written to the
     * `linked` stage table — the dominant phase (extraction compute + the
     * big parquet write). Split out so [[graft.Bench]] can time each staged
@@ -93,30 +111,46 @@ object Pipeline {
   def writeLinkedStage(spark: SparkSession, cfg: Config, stageDir: String): Unit = {
     val t = turns(spark, cfg).toDF()
     val l = linked(spark, cfg, mentions(spark, cfg, t))
-    l.write.option(V2._1, V2._2).mode("overwrite").parquet(s"$stageDir/linked")
+    // repartition by the bucket key BEFORE the bucketed write: each task
+    // then holds exactly one bucket, so the write emits ONE file per bucket
+    // instead of nTasks × nBuckets row-group shards (measured 1.35× SLOWER
+    // end-to-end than the unbucketed shape at local[32] — tiny row groups
+    // poison both the write and every read-back). This moves the shuffle
+    // the r5 shape paid TWICE on read-back (agg + join) to exactly once,
+    // at write time, on the narrower pre-agg rows.
+    l.repartition(StageBuckets, org.apache.spark.sql.functions.col("conv_id"))
+      .write.option(V2._1, V2._2)
+      .bucketBy(StageBuckets, "conv_id")
+      .option("path", s"$stageDir/linked")
+      .mode("overwrite").saveAsTable(stageTable(stageDir, "linked"))
   }
 
   /** The same DAG as [[writeLinkedStage]] driven into the `noop` v2 sink:
-    * full compute, zero bytes written. The difference
-    * writeLinkedStage − linkedStageNoop is the MEASURED disk-write cost of
-    * the staged shape's dominant write at a given core count — the number
-    * the Amdahl decomposition needs. */
+    * full compute — INCLUDING the bucket-key repartition, so the control
+    * matches the staged write's DAG exactly — zero bytes written. The
+    * difference writeLinkedStage − linkedStageNoop is the MEASURED
+    * disk-write cost of the staged shape's dominant write at a given core
+    * count — the number the Amdahl decomposition needs. */
   def linkedStageNoop(spark: SparkSession, cfg: Config): Unit = {
     val t = turns(spark, cfg).toDF()
     val l = linked(spark, cfg, mentions(spark, cfg, t))
-    l.write.format("noop").mode("overwrite").save()
+    l.repartition(StageBuckets, org.apache.spark.sql.functions.col("conv_id"))
+      .write.format("noop").mode("overwrite").save()
   }
 
   /** Staged phase 2: per-turn aggregate of the `linked` stage table,
     * materialized so the mentions and asserts branches share one agg. */
   def writeTurnAggStage(spark: SparkSession, cfg: Config, stageDir: String): Unit =
-    Aggregation.perTurn(spark.read.parquet(s"$stageDir/linked"))
-      .write.option(V2._1, V2._2).mode("overwrite").parquet(s"$stageDir/turn_agg")
+    Aggregation.perTurn(spark.table(stageTable(stageDir, "linked")))
+      .write.option(V2._1, V2._2)
+      .bucketBy(StageBuckets, "conv_id")
+      .option("path", s"$stageDir/turn_agg")
+      .mode("overwrite").saveAsTable(stageTable(stageDir, "turn_agg"))
 
   /** Staged phase 3: the triple branches served from the materialized
     * aggregate — extraction never re-runs. */
   def triplesFromStage(spark: SparkSession, cfg: Config, stageDir: String): Dataset[Triple] =
-    Triples.all(spark.read.parquet(s"$stageDir/turn_agg"),
+    Triples.all(spark.table(stageTable(stageDir, "turn_agg")),
       SynthTranscripts.turnsMeta(spark, cfg.nConvs))
 
   /** Voted variant of the mention stream (the reference's

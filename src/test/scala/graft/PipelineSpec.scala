@@ -119,6 +119,38 @@ class PipelineSpec extends GraftSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
   }
 
+  test("bucketed stage tables delete the read-back shuffle: per-turn agg over " +
+      "linked and per-conv merge over turn_agg plan ZERO exchanges") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // resolve the AQE final plan before traversing
+      def rec(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => rec(a.executedPlan)
+        case q: QueryStageExec => rec(q.plan)
+        case s: ShuffleExchangeLike => 1 + s.children.map(rec).sum
+        case o => o.children.map(rec).sum + o.subqueries.map(rec).sum
+      }
+      rec(df.queryExecution.executedPlan)
+    }
+    val cfg = Pipeline.Config(nConvs = 15, nBase = 48)
+    val stage = java.nio.file.Files.createTempDirectory("graft_stage_plan")
+    Pipeline.writeLinkedStage(spark, cfg, stage.toString)
+    Pipeline.writeTurnAggStage(spark, cfg, stage.toString)
+    // phase 2's agg: keys (conv,turn,source,code) ⊇ bucket key conv_id —
+    // the bucketed scan's HashPartitioning satisfies the clustering, so
+    // the r5 read-back Exchange (a full-data shuffle at 100 TB) is GONE
+    val agg = graft.operators.Aggregation.perTurn(
+      spark.table(Pipeline.stageTable(stage.toString, "linked")))
+    assert(shuffles(agg) === 0)
+    // phase 3's per-conv merge over the bucketed turn_agg: same mechanism
+    val conv = graft.operators.Aggregation.perConv(
+      spark.table(Pipeline.stageTable(stage.toString, "turn_agg")))
+    assert(shuffles(conv) === 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+  }
+
   test("entry(): staged pipeline through the resumable sink, read back, rows > 0") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
