@@ -103,6 +103,34 @@ object Pipeline {
   private[graft] def stageTable(stageDir: String, name: String): String =
     s"graft_stage_${name}_${java.lang.Integer.toHexString(stageDir.hashCode)}"
 
+  /** Register the bucketed stage table if this session's catalog doesn't
+    * hold it yet (ADVICE r6: a stage dir written in one session/JVM must
+    * stay readable in another — bucket metadata lives in the catalog, so a
+    * fresh session re-declares it over the existing parquet files; the
+    * files carry their bucket ids in their names, written by the bucketed
+    * save). The stage dir is thereby a self-contained, cross-session
+    * artifact again, like r5's plain parquet stage. */
+  private def ensureStageTable(spark: SparkSession, stageDir: String,
+      name: String): Unit = {
+    val tbl = stageTable(stageDir, name)
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = s"$stageDir/$name"
+      val schema = spark.read.parquet(path).schema.toDDL
+      spark.sql(s"CREATE TABLE $tbl ($schema) USING parquet " +
+        s"CLUSTERED BY (conv_id) INTO $StageBuckets BUCKETS " +
+        s"LOCATION '$path'")
+    }
+  }
+
+  /** Drop the stage dir's catalog entries (EXTERNAL tables — the parquet
+    * files stay). Callers that loop over temp stage dirs (the bench, the
+    * staged queries) call this after consuming the stage so a long-lived
+    * session's catalog doesn't accumulate stale entries pointing at
+    * deleted temp dirs (ADVICE r6). */
+  def dropStageTables(spark: SparkSession, stageDir: String): Unit =
+    Seq("linked", "turn_agg").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS ${stageTable(stageDir, n)}"))
+
   /** Staged phase 1: extraction + linking computed once, written to the
     * `linked` stage table — the dominant phase (extraction compute + the
     * big parquet write). Split out so [[graft.Bench]] can time each staged
@@ -140,18 +168,22 @@ object Pipeline {
 
   /** Staged phase 2: per-turn aggregate of the `linked` stage table,
     * materialized so the mentions and asserts branches share one agg. */
-  def writeTurnAggStage(spark: SparkSession, cfg: Config, stageDir: String): Unit =
+  def writeTurnAggStage(spark: SparkSession, cfg: Config, stageDir: String): Unit = {
+    ensureStageTable(spark, stageDir, "linked")
     Aggregation.perTurn(spark.table(stageTable(stageDir, "linked")))
       .write.option(V2._1, V2._2)
       .bucketBy(StageBuckets, "conv_id")
       .option("path", s"$stageDir/turn_agg")
       .mode("overwrite").saveAsTable(stageTable(stageDir, "turn_agg"))
+  }
 
   /** Staged phase 3: the triple branches served from the materialized
     * aggregate — extraction never re-runs. */
-  def triplesFromStage(spark: SparkSession, cfg: Config, stageDir: String): Dataset[Triple] =
+  def triplesFromStage(spark: SparkSession, cfg: Config, stageDir: String): Dataset[Triple] = {
+    ensureStageTable(spark, stageDir, "turn_agg")
     Triples.all(spark.table(stageTable(stageDir, "turn_agg")),
       SynthTranscripts.turnsMeta(spark, cfg.nConvs))
+  }
 
   /** Voted variant of the mention stream (the reference's
     * `dhp_fhir_tool1_v1voting.py` path). */

@@ -54,6 +54,9 @@ object SparkEntry {
     // writeResumable consumes the staged tables; the sink dir must outlive
     // the returned (lazy) read-back — both clean up at JVM exit
     GraphSink.writeResumable(triples.toDF(), dir.toString, runId = "entry")
+    // the sink write consumed the stage; drop its catalog entries so the
+    // session doesn't accumulate stale tables over temp dirs (ADVICE r6)
+    Pipeline.dropStageTables(spark, stage.toString)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(stage.toFile)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
     GraphSink.readTriples(spark, dir.toString)
@@ -736,11 +739,16 @@ object SparkEntry {
       // _temporary dir a glob might match on some filesystems), and guard
       // the zero-batch case — an empty source produced no b<i> dir at all,
       // where the glob read would throw PATH_NOT_FOUND instead of returning
-      // the empty result (ADVICE r4)
-      val batchDirs = Option(out.toFile.listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
-        .map(_.toString)
+      // the empty result (ADVICE r4). Hadoop-FS listing, scheme-resolved
+      // (VERDICT r6 next #5: the last java.io.File walk outside temp-dir
+      // creation) — out may be any filesystem a production run points at.
+      val outPath = new org.apache.hadoop.fs.Path(out.toString)
+      val outFs = outPath.getFileSystem(s.sessionState.newHadoopConf())
+      val batchDirs =
+        (if (outFs.exists(outPath)) outFs.listStatus(outPath)
+         else Array.empty[org.apache.hadoop.fs.FileStatus])
+          .filter(st => st.isDirectory && st.getPath.getName.matches("b\\d+"))
+          .map(_.getPath.toString)
       val streamed =
         if (batchDirs.isEmpty)
           Aggregation.perTurn(sources.DocCorpus.linked(docs.limit(0)))
@@ -869,8 +877,14 @@ object SparkEntry {
       val stage = java.nio.file.Files.createTempDirectory("graft_stage")
       // the returned DF lazily reads the stage tables — defer cleanup to exit
       org.apache.commons.io.FileUtils.forceDeleteOnExit(stage.toFile)
-      Pipeline.triplesStaged(s, cfgOf(dir), stage.toString).toDF()
+      val df = Pipeline.triplesStaged(s, cfgOf(dir), stage.toString).toDF()
         .orderBy("pred", "subj", "obj")
+      // force analysis (the resolved bucketed relation is baked into the
+      // plan), then drop the catalog entries so repeated invocations don't
+      // accumulate stale temp-dir tables in the session (ADVICE r6)
+      df.queryExecution.assertAnalyzed()
+      Pipeline.dropStageTables(s, stage.toString)
+      df
     }),
     // L1-L3 lexical candidate linking (the ES multi_match analogue):
     // idf-overlap scoring against the broadcast alias index, top-10 + pick

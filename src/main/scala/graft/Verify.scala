@@ -15,7 +15,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // scheme-resolved mkdir (VERDICT r6 next #5: the driver may hand any
+    // filesystem URI; java.io.File silently no-ops on non-local schemes)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    outPath.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(outPath)
     // Output dir is named EXACTLY `name` (no .parquet suffix): the driver
     // keys results by directory basename and looks oracle SQL up by that
     // key in oracle_sql.json — round 1's `.parquet` suffix made 0/29 keys

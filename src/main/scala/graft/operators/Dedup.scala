@@ -452,8 +452,16 @@ object Dedup {
     *  - `path/docs` — the (id, sh) [[shingleTable]] the exact-Jaccard
     *    verify needs, computed once here, never re-derived from text;
     *    partitioned by `epoch` for the same replay scoping.
-    *  - `path/meta` — one n_docs row per epoch (full doc counts, summed
-    *    by the probe's cap arithmetic).
+    *  - `path/meta` — one (n_docs, fold_upto) row per epoch: full doc
+    *    counts (summed by the probe's cap arithmetic) plus the stream-fold
+    *    watermark (-1 for the build and plain appends; the covered
+    *    `uptoBatch` when the epoch was written by
+    *    [[graft.streaming.StreamingDedup.foldAndRetire]]). Riding in meta
+    *    makes the watermark ATOMIC with the epoch's commit marker — meta
+    *    is written last, so a crashed fold never advances the watermark.
+    *  - `path/fence` — written only by [[compactMinhashIndex]]: the
+    *    smallest epoch id a post-compaction append may use (r7, VERDICT r6
+    *    next #3 — the quiesce contract enforced in code, not scaladoc).
     * Ids must be unique across corpus ∪ any future delta (the ingest
     * contract — Ingest.validate's duplicate-upload guard upstream). */
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
@@ -473,9 +481,47 @@ object Dedup {
     // incremental cap is computed on the same corpus∪delta count as the
     // batch path's effectiveCap(df) and the equality contract holds on
     // short-doc-heavy corpora too
-    Seq(df.count()).toDF("n_docs")
+    Seq((df.count(), -1L)).toDF("n_docs", "fold_upto")
       .withColumn("epoch", lit(0L))
       .write.mode("overwrite").partitionBy("epoch").parquet(s"$path/meta")
+  }
+
+  private def fsPathOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** The compaction fence: the smallest epoch id an append to this index
+    * may legally use. 1 for a never-compacted index (0 is the build);
+    * max-folded-epoch + 1 once [[compactMinhashIndex]] has run. Reading it
+    * here (and requiring it in [[appendToMinhashIndex]]) turns the
+    * "never reuse an epoch id that was folded into a compacted copy"
+    * contract from scaladoc into an error (VERDICT r6 next #3). */
+  def minNextEpoch(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val (fs, p) = fsPathOf(spark, s"$path/fence")
+    if (!fs.exists(p)) 1L
+    else spark.read.parquet(s"$path/fence")
+      .agg(max(col("min_next_epoch"))).head().getLong(0)
+  }
+
+  /** The stream-fold watermark: the highest `uptoBatch` any committed
+    * fold epoch covers (-1 if none). Derived from meta — the epoch commit
+    * marker — so a fold crashed before its meta write never advances it,
+    * and [[graft.streaming.StreamingDedup.foldAndRetire]] re-covers
+    * exactly the batches whose index rows never committed (ADVICE r6:
+    * a fold retried at a HIGHER uptoBatch after an append-then-crash must
+    * not re-append the already-committed batches). Tolerates legacy meta
+    * without the column. */
+  def foldWatermark(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val meta = spark.read.parquet(s"$path/meta")
+    if (!meta.columns.contains("fold_upto")) -1L
+    else {
+      val r = meta.agg(max(col("fold_upto"))).head()
+      if (r.isNullAt(0)) -1L else math.max(-1L, r.getLong(0))
+    }
   }
 
   /** Sum of the index's recorded FULL doc counts (build + every appended
@@ -513,12 +559,25 @@ object Dedup {
     * absent from meta, and the probe ([[incrementalTrueJaccardPairs]])
     * reads only meta-committed epochs, so a partially-appended epoch is
     * invisible (no silently-dropped verify joins, no undercounted cap
-    * basis) until the retry completes it. */
+    * basis) until the retry completes it.
+    *
+    * Compaction fence (r7, VERDICT r6 next #3): an epoch below the index's
+    * [[minNextEpoch]] was already folded into this compacted copy — a late
+    * retry of it would re-add its rows and duplicate the index, so it
+    * FAILS LOUDLY here instead. `foldUpto` is set only by
+    * [[graft.streaming.StreamingDedup.foldAndRetire]]: the highest stream
+    * batch this epoch covers, recorded in the meta row so the fold
+    * watermark commits atomically with the epoch (meta is written last). */
   def appendToMinhashIndex(delta: DataFrame, idCol: String, textCol: String,
       path: String, epoch: Long, m: Int = 32, bands: Int = 16, k: Int = 3,
-      nShards: Int = 64): Unit = {
+      nShards: Int = 64, foldUpto: Long = -1L): Unit = {
     require(epoch > 0, s"append epoch must be > 0 (0 is the build), got $epoch")
     val spark = delta.sparkSession
+    val fence = minNextEpoch(spark, path)
+    require(epoch >= fence,
+      s"append epoch $epoch is below the compaction fence $fence of $path — " +
+        "this epoch was already folded into the compacted copy; a retry " +
+        "here would duplicate index rows. Use a fresh epoch >= the fence.")
     import spark.implicits._
     def dyn(df: DataFrame, cols: Seq[String], sub: String): Unit =
       df.withColumn("epoch", lit(epoch))
@@ -529,7 +588,8 @@ object Dedup {
       .withColumn("bshard", pmod(col("bkey"), lit(nShards.toLong))),
       Seq("epoch", "bshard"), "bands")
     dyn(shingleTable(delta, idCol, textCol, k), Seq("epoch"), "docs")
-    dyn(Seq(delta.count()).toDF("n_docs"), Seq("epoch"), "meta")
+    dyn(Seq((delta.count(), foldUpto)).toDF("n_docs", "fold_upto"),
+      Seq("epoch"), "meta")
   }
 
   /** Fold a multi-epoch index (build + any number of appends) back into
@@ -545,17 +605,27 @@ object Dedup {
     * index at all. Content equality with a from-scratch rebuild and
     * probe-result equality are Round5Spec-tested.
     *
-    * Quiesce contract (ADVICE r5): in-flight [[appendToMinhashIndex]]
-    * jobs against `srcPath` must be fenced before compacting — a late
-    * retry of an epoch already folded into the compacted copy would
-    * re-add that epoch's rows and duplicate the index. Epoch ids must
-    * stay monotonic ACROSS compactions: never reuse an epoch id that was
-    * folded (appends to the compacted index continue from the highest
-    * pre-compaction epoch + 1, even though the copy itself is epoch 0). */
+    * Quiesce contract — ENFORCED since r7 (VERDICT r6 next #3, ADVICE r6):
+    * the compacted copy carries a `fence` table with
+    * `min_next_epoch = max(committed src epoch) + 1`, and
+    * [[appendToMinhashIndex]] refuses any epoch below it — a late retry of
+    * an epoch already folded into the compacted copy fails loudly instead
+    * of re-adding its rows. The rewrite reads ONLY meta-committed epochs
+    * (the same gate as the probe): a half-appended epoch — bands/docs
+    * present, no meta commit marker — must stay invisible post-compaction
+    * too, or compaction would silently "commit" it while the copied meta
+    * doc count excludes it (ADVICE r6 medium #1). The fold watermark
+    * (max `fold_upto`) is carried into the copy's meta so
+    * [[graft.streaming.StreamingDedup.foldAndRetire]] stays idempotent
+    * across a pointer flip. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       srcPath: String, dstPath: String): Unit = {
     import spark.implicits._
+    // bounded collect: one meta row per committed epoch
+    val committed = spark.read.parquet(s"$srcPath/meta")
+      .select(col("epoch").cast("long")).collect().map(_.getLong(0))
     spark.read.parquet(s"$srcPath/bands")
+      .filter(col("epoch").isin(committed: _*))
       .select(col("id"), col("band"), col("bkey"),
         col("bshard").cast("long").as("bshard"))
       .repartition(col("bshard"))
@@ -563,12 +633,19 @@ object Dedup {
       .write.mode("overwrite").partitionBy("epoch", "bshard")
       .parquet(s"$dstPath/bands")
     spark.read.parquet(s"$srcPath/docs")
+      .filter(col("epoch").isin(committed: _*))
       .select(col("id"), col("sh"))
       .withColumn("epoch", lit(0L))
       .write.mode("overwrite").partitionBy("epoch").parquet(s"$dstPath/docs")
-    Seq(indexedDocCount(spark, srcPath)).toDF("n_docs")
+    Seq((indexedDocCount(spark, srcPath), foldWatermark(spark, srcPath)))
+      .toDF("n_docs", "fold_upto")
       .withColumn("epoch", lit(0L))
       .write.mode("overwrite").partitionBy("epoch").parquet(s"$dstPath/meta")
+    // the fence, written last: every folded epoch id is now illegal to
+    // append (at src OR dst — carry src's own fence forward if higher)
+    Seq(math.max(committed.max + 1L, minNextEpoch(spark, srcPath)))
+      .toDF("min_next_epoch")
+      .write.mode("overwrite").parquet(s"$dstPath/fence")
   }
 
   /** Verified near-dup pairs TOUCHING the delta: delta×corpus plus the

