@@ -266,4 +266,26 @@ class Round7Spec extends GraftSuite {
     assert(!Bench.cotenancyClean(cotenantJvm))  // the r6 failure, directly
     assert(!Bench.cotenancyClean(steadyOversub)) // even if the JVM scan missed
   }
+
+  test("co-tenancy dry run: a LIVE co-tenant JVM (the r6 double-run " +
+      "scenario) is seen by the probe and flags the window") {
+    val baseline = Bench.loadSample("before").otherJava
+    // a real second java process (single-file source launch), NOT an
+    // ancestor of this JVM — exactly what a concurrent bench looks like
+    val hog = Files.createTempFile("CoTenant", ".java")
+    Files.write(hog, ("public class CoTenant { public static void main" +
+      "(String[] a) throws Exception { Thread.sleep(30000); } }").getBytes)
+    val proc = new ProcessBuilder("java", hog.toString).start()
+    try {
+      // the process image is `java` from exec; give the fork a moment
+      Thread.sleep(1000)
+      val during = Bench.loadSample("during")
+      assert(during.otherJava >= baseline + 1,
+        s"probe missed the co-tenant: before=$baseline during=${during.otherJava}")
+      assert(!Bench.cotenancyClean(Seq(during)))
+    } finally {
+      proc.destroyForcibly()
+      Files.deleteIfExists(hog)
+    }
+  }
 }
