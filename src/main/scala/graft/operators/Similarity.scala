@@ -241,6 +241,7 @@ object Similarity {
   def appendToIvfIndex(delta: DataFrame, idCol: String, vecCol: String,
       path: String, epoch: Long): Unit = {
     require(epoch > 0, s"append epoch must be > 0 (0 is the build), got $epoch")
+    requireAboveFence(delta.sparkSession, path, epoch)
     val spark = delta.sparkSession
     val centroids: Array[(Long, Seq[Double])] =
       spark.read.parquet(s"$path/centroids").collect()
@@ -271,13 +272,21 @@ object Similarity {
     * anything); blue/green — the caller flips its index pointer when the
     * copy is complete.
     *
-    * Quiesce contract (ADVICE r5): in-flight appends against `srcPath`
-    * must be fenced before compacting — a late retry of an epoch already
-    * folded into the compacted copy would re-add its rows — and epoch ids
-    * must never be reused after a compaction (stay monotonic across it,
-    * as for [[graft.operators.Dedup.compactMinhashIndex]]). */
+    * Quiesce contract — ENFORCED since r7, in parity with
+    * [[graft.operators.Dedup.compactMinhashIndex]]: the compacted copy
+    * carries a `fence` table (`min_next_epoch = max folded epoch + 1`,
+    * src's own fence carried forward if higher) and the appenders refuse
+    * any epoch below it, so a late retry of an epoch already folded into
+    * the compacted copy fails loudly instead of re-adding its rows. No
+    * commit marker is needed here (unlike minhash's three tables): an
+    * append is ONE write job, atomic at the job commit. */
   def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
       srcPath: String, dstPath: String, listCol: String): Unit = {
+    import spark.implicits._
+    // bounded collect: one row per epoch dir (build + appends)
+    val srcEpochs = spark.read.parquet(s"$srcPath/vectors")
+      .select(col("epoch").cast("long")).distinct()
+      .collect().map(_.getLong(0))
     spark.read.parquet(s"$srcPath/vectors")
       .drop("epoch")
       .withColumn(listCol, col(listCol).cast("long"))
@@ -291,6 +300,30 @@ object Similarity {
     if (fs.exists(centroids))
       spark.read.parquet(centroids.toString)
         .coalesce(1).write.mode("overwrite").parquet(s"$dstPath/centroids")
+    Seq(math.max(srcEpochs.max + 1L, minNextVectorEpoch(spark, srcPath)))
+      .toDF("min_next_epoch")
+      .write.mode("overwrite").parquet(s"$dstPath/fence")
+  }
+
+  /** The compaction fence of a persisted vector index: the smallest epoch
+    * an append may legally use — 1 for a never-compacted index, max folded
+    * epoch + 1 after [[compactVectorIndex]]. */
+  def minNextVectorEpoch(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/fence")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 1L
+    else spark.read.parquet(s"$path/fence")
+      .agg(max(col("min_next_epoch"))).head().getLong(0)
+  }
+
+  private def requireAboveFence(spark: org.apache.spark.sql.SparkSession,
+      path: String, epoch: Long): Unit = {
+    val fence = minNextVectorEpoch(spark, path)
+    require(epoch >= fence,
+      s"append epoch $epoch is below the compaction fence $fence of $path — " +
+        "this epoch was already folded into the compacted copy; a retry " +
+        "here would duplicate index rows. Use a fresh epoch >= the fence.")
   }
 
   /** Append to a persisted LSH signature index. The signature is a pure
@@ -301,6 +334,7 @@ object Similarity {
   def appendToLshIndex(delta: DataFrame, idCol: String, vecCol: String,
       path: String, epoch: Long, bits: Int = 12, prefixBits: Int = 6): Unit = {
     require(epoch > 0, s"append epoch must be > 0 (0 is the build), got $epoch")
+    requireAboveFence(delta.sparkSession, path, epoch)
     writeEpochPartitioned(withLshColumns(delta, vecCol, bits, prefixBits),
       s"$path/vectors", "lsh_prefix", epoch, build = false)
   }
