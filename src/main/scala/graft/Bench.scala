@@ -55,26 +55,64 @@ object Bench {
 
   private[graft] val LockPath = Paths.get("bench_runs/.lock")
 
+  /** Process start time (field 22 of /proc/pid/stat, clock ticks since
+    * boot) — the disambiguator that makes pid-based liveness exact: a
+    * recycled pid has a different start time, so a crashed run's lock
+    * never pins the bench on an unrelated process that inherited the pid. */
+  private def startTimeOf(pid: Long): Option[String] =
+    try {
+      val stat = new String(
+        Files.readAllBytes(Paths.get(s"/proc/$pid/stat")), "UTF-8")
+      // comm (field 2) is parenthesized and may contain spaces: split only
+      // what follows the LAST ')' — fields 3.. — where starttime is #22
+      Some(stat.substring(stat.lastIndexOf(')') + 2).split(" ")(19))
+    } catch { case _: Throwable => None }
+
   /** Acquire the exclusive run lock, replacing it only when its recorded
-    * pid is dead (a crashed run's leftover). Returns (acquired, staleRemoved). */
+    * holder is dead (a crashed run's leftover). Returns
+    * (acquired, staleRemoved).
+    *
+    * Race-free by construction: the only atomic primitives used are
+    * O_EXCL create and POSIX rename. A stale lock is CLAIMED by renaming
+    * it aside to a per-pid name — of N contenders racing over the same
+    * dead lock, exactly one rename succeeds (delete-then-recreate, the
+    * r7-review TOCTOU, would let two contenders both "acquire") — and only
+    * the claimant proceeds to create; losers refuse, conservatively.
+    * Liveness = /proc/<pid> exists AND its start time matches the one
+    * recorded at acquire (a pid-only legacy lock falls back to existence). */
   private[graft] def acquireLock(): (Boolean, Boolean) = {
     Files.createDirectories(Paths.get("bench_runs"))
+    val self = ProcessHandle.current().pid()
+    val token = s"$self ${startTimeOf(self).getOrElse("?")}"
     def tryCreate(): Boolean =
       try {
-        Files.write(LockPath,
-          String.valueOf(ProcessHandle.current().pid()).getBytes("UTF-8"),
+        Files.write(LockPath, token.getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    def holderLive(): Boolean = {
+      val toks =
+        try new String(Files.readAllBytes(LockPath), "UTF-8").trim
+          .split("\\s+")
+        catch { case _: Throwable => Array.empty[String] }
+      val pid = toks.headOption
+        .flatMap(t => scala.util.Try(t.toLong).toOption).getOrElse(-1L)
+      if (pid <= 0 || !Files.exists(Paths.get(s"/proc/$pid"))) false
+      else toks.lift(1) match {
+        case Some(st) if st != "?" => startTimeOf(pid).contains(st)
+        case _ => true // legacy pid-only lock: existence is the best we have
+      }
+    }
     if (tryCreate()) (true, false)
+    else if (holderLive()) (false, false) // live holder — refuse
     else {
-      val holder =
-        try new String(Files.readAllBytes(LockPath), "UTF-8").trim.toLong
-        catch { case _: Throwable => -1L }
-      if (holder > 0 && Files.exists(Paths.get(s"/proc/$holder")))
-        (false, false) // live holder — refuse
+      val aside = LockPath.resolveSibling(s".lock.stale.$self")
+      val claimed =
+        try { Files.move(LockPath, aside); true }
+        catch { case _: Throwable => false } // another contender claimed it
+      if (!claimed) (false, true)
       else {
-        Files.deleteIfExists(LockPath)
+        Files.deleteIfExists(aside)
         (tryCreate(), true)
       }
     }
@@ -587,12 +625,9 @@ object Bench {
     * conv_id-bucketed stage tables, 2 with r5's plain parquet stage
     * (VERDICT r6 next #6: the cluster-scale claim — two full-data
     * shuffles deleted at 100 TB — travels in the artifact the driver
-    * replays, not just in a test). Same traversal as the PipelineSpec plan
-    * assert; measured on a small corpus, the plan shape is size-blind. */
+    * replays, not just in a test). THE SAME traversal as the PipelineSpec/
+    * Round7Spec plan asserts — [[graft.util.PlanOps]], one definition. */
   private def stagedReadbackExchanges(sfDir: String): Int = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val s = session(8)
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_rb")
     try {
@@ -600,16 +635,8 @@ object Bench {
       val cfg = base.copy(nConvs = math.max(32, base.nConvs / 64))
       Pipeline.writeLinkedStage(s, cfg, dir.toString)
       Pipeline.writeTurnAggStage(s, cfg, dir.toString)
-      def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-        df.collect() // resolve the AQE final plan before traversing
-        def rec(p: SparkPlan): Int = p match {
-          case a: AdaptiveSparkPlanExec => rec(a.executedPlan)
-          case q: QueryStageExec => rec(q.plan)
-          case x: ShuffleExchangeLike => 1 + x.children.map(rec).sum
-          case o => o.children.map(rec).sum + o.subqueries.map(rec).sum
-        }
-        rec(df.queryExecution.executedPlan)
-      }
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+        graft.util.PlanOps.executedShuffleExchanges(df)
       val agg = operators.Aggregation.perTurn(
         s.table(Pipeline.stageTable(dir.toString, "linked")))
       val conv = operators.Aggregation.perConv(

@@ -283,10 +283,13 @@ object Similarity {
   def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
       srcPath: String, dstPath: String, listCol: String): Unit = {
     import spark.implicits._
-    // bounded collect: one row per epoch dir (build + appends)
-    val srcEpochs = spark.read.parquet(s"$srcPath/vectors")
-      .select(col("epoch").cast("long")).distinct()
-      .collect().map(_.getLong(0))
+    // epoch ids from the epoch=N partition DIRECTORY names — a metadata
+    // listing, not a distinct() over every vector row (the r7 review: that
+    // extra full scan is exactly the IO this operator exists to bound)
+    val srcEpochs =
+      graft.util.IndexFence.epochIds(spark, s"$srcPath/vectors")
+    require(srcEpochs.nonEmpty,
+      s"$srcPath/vectors has no epoch=N partitions — not a vector index")
     spark.read.parquet(s"$srcPath/vectors")
       .drop("epoch")
       .withColumn(listCol, col(listCol).cast("long"))
@@ -295,8 +298,8 @@ object Similarity {
       .write.mode("overwrite").partitionBy("epoch", listCol)
       .parquet(s"$dstPath/vectors")
     // Hadoop FS, not java.io.File: srcPath may be an object-store URI
-    val centroids = new org.apache.hadoop.fs.Path(s"$srcPath/centroids")
-    val fs = centroids.getFileSystem(spark.sessionState.newHadoopConf())
+    val (fs, centroids) =
+      graft.util.IndexFence.fsOf(spark, s"$srcPath/centroids")
     if (fs.exists(centroids))
       spark.read.parquet(centroids.toString)
         .coalesce(1).write.mode("overwrite").parquet(s"$dstPath/centroids")
@@ -307,24 +310,14 @@ object Similarity {
 
   /** The compaction fence of a persisted vector index: the smallest epoch
     * an append may legally use — 1 for a never-compacted index, max folded
-    * epoch + 1 after [[compactVectorIndex]]. */
+    * epoch + 1 after [[compactVectorIndex]]. The SAME protocol (and code —
+    * [[graft.util.IndexFence]]) as the minhash index's fence. */
   def minNextVectorEpoch(spark: org.apache.spark.sql.SparkSession,
-      path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/fence")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 1L
-    else spark.read.parquet(s"$path/fence")
-      .agg(max(col("min_next_epoch"))).head().getLong(0)
-  }
+      path: String): Long = graft.util.IndexFence.minNextEpoch(spark, path)
 
   private def requireAboveFence(spark: org.apache.spark.sql.SparkSession,
-      path: String, epoch: Long): Unit = {
-    val fence = minNextVectorEpoch(spark, path)
-    require(epoch >= fence,
-      s"append epoch $epoch is below the compaction fence $fence of $path — " +
-        "this epoch was already folded into the compacted copy; a retry " +
-        "here would duplicate index rows. Use a fresh epoch >= the fence.")
-  }
+      path: String, epoch: Long): Unit =
+    graft.util.IndexFence.requireAbove(spark, path, epoch)
 
   /** Append to a persisted LSH signature index. The signature is a pure
     * function of the vector (data-independent hyperplanes), so an append

@@ -59,9 +59,38 @@ object StreamingDedup {
     * every readback emit an 'All paths were ignored' WARN). */
   private val SchemaSentinel = "schema_sentinel"
 
-  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
-    val p = new Path(path)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) =
+    graft.util.IndexFence.fsOf(spark, path)
+
+  /** One-shot layout migration of a pre-r7 `accepted_folded` dir: r6 folds
+    * wrote `fold_epoch=E` partitions with `batch_id` as a data column; r7
+    * keys the partitions by `batch_id` (so a retried fold at ANY uptoBatch
+    * replaces exactly the same partitions) with `fold_epoch` riding along
+    * as lineage data. Writing the new layout NEXT TO legacy dirs would
+    * leave a dir parquet partition discovery refuses outright
+    * ("conflicting partition column names"), bricking every later
+    * readback — so the sole writer rewrites any legacy partitions into
+    * the new scheme first, then deletes them. Idempotent: a crash between
+    * the rewrite and the delete leaves a transiently mixed dir that the
+    * next fold's retry of this same migration heals (the rewrite is a
+    * dynamic overwrite of the same batch partitions). */
+  private def migrateLegacyFolded(spark: SparkSession, fs: FileSystem,
+      outDir: String): Unit = {
+    val root = new Path(s"$outDir/accepted_folded")
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("fold_epoch=")).foreach { st =>
+        val epoch = st.getPath.getName.stripPrefix("fold_epoch=").toLong
+        // reading the partition dir DIRECTLY strips fold_epoch: restore it
+        spark.read.parquet(st.getPath.toString)
+          .withColumn("batch_id", col("batch_id").cast("long"))
+          .withColumn("fold_epoch", lit(epoch))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(root.toString)
+        fs.delete(st.getPath, true)
+      }
   }
 
   /** True iff `dir` exists and holds at least one parquet data file
@@ -237,6 +266,7 @@ object StreamingDedup {
     val accDir = s"$outDir/accepted"
     val lastFolded = Dedup.foldWatermark(spark, indexPath)
     val (fs, _) = fsOf(spark, outDir)
+    migrateLegacyFolded(spark, fs, outDir)
     retireUpto(fs, seenDir, lastFolded)
     retireUpto(fs, accDir, lastFolded)
     if (uptoBatch <= lastFolded || !hasParquet(spark, seenDir)) return

@@ -121,19 +121,11 @@ class PipelineSpec extends GraftSuite {
 
   test("bucketed stage tables delete the read-back shuffle: per-turn agg over " +
       "linked and per-conv merge over turn_agg plan ZERO exchanges") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-      df.collect() // resolve the AQE final plan before traversing
-      def rec(p: SparkPlan): Int = p match {
-        case a: AdaptiveSparkPlanExec => rec(a.executedPlan)
-        case q: QueryStageExec => rec(q.plan)
-        case s: ShuffleExchangeLike => 1 + s.children.map(rec).sum
-        case o => o.children.map(rec).sum + o.subqueries.map(rec).sum
-      }
-      rec(df.queryExecution.executedPlan)
-    }
+    // the SAME traversal the bench artifact ships (graft.util.PlanOps —
+    // one definition, so the test assert and staged_readback_exchanges
+    // cannot drift)
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      graft.util.PlanOps.executedShuffleExchanges(df)
     val cfg = Pipeline.Config(nConvs = 15, nBase = 48)
     val stage = java.nio.file.Files.createTempDirectory("graft_stage_plan")
     Pipeline.writeLinkedStage(spark, cfg, stage.toString)

@@ -197,19 +197,8 @@ class Round7Spec extends GraftSuite {
   test("stage tables are cross-session artifacts again: a fresh catalog " +
       "re-registers the bucketed tables from the parquet dir and the " +
       "read-back still plans ZERO shuffles") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-      df.collect()
-      def rec(p: SparkPlan): Int = p match {
-        case a: AdaptiveSparkPlanExec => rec(a.executedPlan)
-        case q: QueryStageExec => rec(q.plan)
-        case s: ShuffleExchangeLike => 1 + s.children.map(rec).sum
-        case o => o.children.map(rec).sum + o.subqueries.map(rec).sum
-      }
-      rec(df.queryExecution.executedPlan)
-    }
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      graft.util.PlanOps.executedShuffleExchanges(df)
     val cfg = Pipeline.Config(nConvs = 15, nBase = 48)
     val stage = Files.createTempDirectory("graft_xsession_stage").toString
     val expected = Pipeline.triples(spark, cfg).collect().toSet
@@ -339,5 +328,89 @@ class Round7Spec extends GraftSuite {
       proc.destroyForcibly()
       Files.deleteIfExists(hog)
     }
+  }
+
+  test("bench lock staleness is start-time-exact: a lock whose pid was " +
+      "recycled by another live process is stale, not a permanent refusal") {
+    val (ok, _) = Bench.acquireLock()
+    assume(ok, "a real bench run holds the lock — skip")
+    java.nio.file.Files.deleteIfExists(Bench.LockPath)
+    try {
+      // pid 1 is alive on any Linux box, but the recorded start time can
+      // never match it — the pre-fix liveness check (/proc/<pid> exists)
+      // would refuse forever; the start-time check sees a recycled pid
+      java.nio.file.Files.write(Bench.LockPath, "1 999999999".getBytes("UTF-8"))
+      val (reacquired, stale) = Bench.acquireLock()
+      assert(reacquired && stale)
+    } finally java.nio.file.Files.deleteIfExists(Bench.LockPath)
+  }
+
+  test("fold watermark survives a mixed-schema meta dir: a legacy epoch " +
+      "without fold_upto next to a folded epoch with it still reads the " +
+      "committed watermark (footer sampling would read -1 and re-fold)") {
+    val idx = Files.createTempDirectory("graft_ms_idx_").toString
+    // legacy build: meta epoch=0 carries ONLY n_docs (the pre-r7 schema)
+    Seq(2L).toDF("n_docs").withColumn("epoch", lit(0L))
+      .write.partitionBy("epoch").parquet(s"$idx/meta")
+    assert(Dedup.foldWatermark(spark, idx) == -1L)
+    // an r7 fold commits epoch=1 with fold_upto=3 into the same meta dir
+    Seq((1L, 3L)).toDF("n_docs", "fold_upto").withColumn("epoch", lit(1L))
+      .write.mode("append").partitionBy("epoch").parquet(s"$idx/meta")
+    assert(Dedup.foldWatermark(spark, idx) == 3L)
+    // the doc-count basis also spans both schemas
+    assert(Dedup.indexedDocCount(spark, idx) == 3L)
+    rmAll(idx)
+  }
+
+  test("pre-r7 accepted_folded layout (fold_epoch= partitions) is migrated " +
+      "to the batch_id= scheme by the next fold — no conflicting-partition " +
+      "readback break, identical accepted rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq((0L, doc("mg", 0, 40))).toDF("doc_id", "text")
+    val b1 = Seq((100L, doc("mg", 60000, 40)))   // accepted, then folded (r6)
+    val b2 = Seq((200L, doc("mg", 70000, 40)))   // accepted, tail
+    val idx = Files.createTempDirectory("graft_mg_idx_").toString
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+    val out = Files.createTempDirectory("graft_mg_out_").toString
+    val ck = Files.createTempDirectory("graft_mg_ck_").toString
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDF.select($"_1".as("doc_id"), $"_2".as("text"))
+    val q = StreamingDedup.start(stream, idx, out, ck)
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // hand-build the r6 layout a pre-upgrade fold left behind: batch 0's
+    // accepted rows live under accepted_folded/fold_epoch=1 (batch_id a
+    // data column), the index carries its docs (epoch 1, fold_upto=0),
+    // and the batch-0 dirs are retired
+    spark.read.parquet(s"$out/accepted/batch_id=0")
+      .withColumn("batch_id", lit(0L)).withColumn("fold_epoch", lit(1L))
+      .write.partitionBy("fold_epoch").parquet(s"$out/accepted_folded")
+    Dedup.appendToMinhashIndex(
+      spark.read.parquet(s"$out/seen/batch_id=0")
+        .select($"doc_id", $"text"),
+      "doc_id", "text", idx, epoch = 1L, foldUpto = 0L)
+    for (sub <- Seq("seen", "accepted"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$out/$sub/batch_id=0"))
+    assert(new java.io.File(s"$out/accepted_folded/fold_epoch=1").exists())
+    // the r7 fold over batch 1 migrates first, then writes batch_id=1 —
+    // without the migration this readback throws
+    // "Conflicting partition column names" on the mixed dir
+    StreamingDedup.foldAndRetire(spark, idx, out, uptoBatch = 1L)
+    assert(!new java.io.File(s"$out/accepted_folded/fold_epoch=1").exists())
+    assert(new java.io.File(s"$out/accepted_folded/batch_id=0").exists())
+    assert(new java.io.File(s"$out/accepted_folded/batch_id=1").exists())
+    val accepted = StreamingDedup.readAccepted(spark, out)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(accepted == Set(100L, 200L))
+    // lineage column survives the layout swap
+    val lineage = spark.read.parquet(s"$out/accepted_folded")
+      .filter($"batch_id" === 0).select($"fold_epoch".cast("long"))
+      .as[Long].collect().toSet
+    assert(lineage == Set(1L))
+    rmAll(idx, out, ck)
   }
 }
