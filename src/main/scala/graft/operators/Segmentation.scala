@@ -9,16 +9,21 @@ import org.apache.spark.sql.functions._
   * semantics of the reference's chunking loop
   * (`src/app.py:218-224,305-311`; fixture `src/small_tasks/test_split.py`).
   *
-  * Implemented as ONE nested higher-order-function expression so the whole
-  * thing is a narrow, codegen-friendly projection with ZERO shuffle; the
-  * per-segment char offset (`seg_start`, in turn coordinates) is carried by
-  * running-sum accumulators inside the expression — this is the W2
-  * offset-invariant carrier (reference global-offset splice
-  * `src/app.py:1496-1523`).
+  * Implemented as ONE native Catalyst expression
+  * ([[graft.functions.Segments]], r7 — a single linear byte scan emitting
+  * zero-copy slices) so the whole thing is a narrow, whole-stage-codegen
+  * projection with ZERO shuffle; the per-segment char offset (`seg_start`,
+  * in turn coordinates) is the W2 offset-invariant carrier (reference
+  * global-offset splice `src/app.py:1496-1523`).
   */
 object Segmentation {
 
-  /** Array of (seg_text, seg_start) per turn, as a single expression. */
+  /** Array of (seg_text, seg_start) per turn as a single SQL expression —
+    * retained as the EXECUTABLE SPEC: [[graft.functions.Segments]] (the
+    * native one-pass kernel that replaced this in the hot path, r7) is
+    * differential-tested against it. Spark runs higher-order functions
+    * interpreted and this tree re-ran the line split per chunk, which
+    * profiled at ~40% of all pipeline executor samples at mult=64. */
   val segmentsExpr: String =
     """flatten(
       |  transform(
@@ -48,7 +53,8 @@ object Segmentation {
     val spark = turns.sparkSession
     import spark.implicits._
     turns
-      .select(col("conv_id"), col("turn_idx"), expr(segmentsExpr).as("segs"))
+      .select(col("conv_id"), col("turn_idx"),
+        graft.functions.Segments.turnSegments(col("text")).as("segs"))
       .select(col("conv_id"), col("turn_idx"),
         posexplode(col("segs")).as(Seq("seg_idx", "seg")))
       .select(col("conv_id"), col("turn_idx"), col("seg_idx"),

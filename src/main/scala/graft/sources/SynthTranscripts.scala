@@ -31,7 +31,19 @@ object SynthTranscripts {
 
   private val baseEpochMs = 1700000000000L // fixed; never wall-clock
 
-  def convId(c: Long): String = f"conv_$c%06d"
+  /** Zero-padded by hand: the `f"conv_$c%06d"` form runs a format-string
+    * parse per row and profiled at ~5% of pipeline executor samples (r7);
+    * output is byte-identical (golden-tested). */
+  def convId(c: Long): String = {
+    val d = java.lang.Long.toString(c)
+    if (d.length >= 6) "conv_" + d
+    else {
+      val sb = new java.lang.StringBuilder(11).append("conv_")
+      var i = 6 - d.length
+      while (i > 0) { sb.append('0'); i -= 1 }
+      sb.append(d).toString
+    }
+  }
 
   def convSize(c: Long, nConvs: Int): Int =
     if (c == 0L) math.max(nConvs, 40) // mega conversation
@@ -58,22 +70,34 @@ object SynthTranscripts {
     * lines carry one planted gazetteer surface, sometimes pluralized (only
     * the stemmed ensemble variant catches those). */
   def turnText(c: Long, t: Int, surfaces: Vector[String]): String = {
+    // streams words straight into one builder — the earlier per-line
+    // Array.tabulate/take/drop/mkString form allocated four arrays per line
+    // and profiled at ~16% of pipeline executor samples (r7); output is
+    // byte-identical (golden-tested)
     val nLines = 1 + pos(h(c, t.toLong, 1L), 18)
-    val sb = new StringBuilder
+    val sb = new java.lang.StringBuilder(nLines * 48)
     var j = 0
     while (j < nLines) {
       val nWords = 4 + pos(h(c, t.toLong, j.toLong, 2L), 5)
-      val words = Array.tabulate(nWords)(w =>
-        fillers(pos(h(c, t.toLong, j.toLong, 3L, w.toLong), fillers.length)))
-      val line =
-        if (pos(h(c, t.toLong, j.toLong, 4L), 10) < 4 && surfaces.nonEmpty) {
-          val si = pos(h(c, t.toLong, j.toLong, 5L), surfaces.length)
-          val s0 = surfaces(si)
-          val s = if (pos(h(c, t.toLong, j.toLong, 7L), 5) == 0) pluralize(s0) else s0
-          val at = pos(h(c, t.toLong, j.toLong, 8L), nWords + 1)
-          (words.take(at) ++ Array(s) ++ words.drop(at)).mkString(" ")
-        } else words.mkString(" ")
-      sb.append(line)
+      val plant = surfaces.nonEmpty && pos(h(c, t.toLong, j.toLong, 4L), 10) < 4
+      // planted surface goes BEFORE word `at` (== nWords appends at end)
+      val at = if (plant) pos(h(c, t.toLong, j.toLong, 8L), nWords + 1) else -1
+      var first = true
+      def append(s: String): Unit = {
+        if (first) first = false else sb.append(' ')
+        sb.append(s)
+      }
+      def appendSurface(): Unit = {
+        val s0 = surfaces(pos(h(c, t.toLong, j.toLong, 5L), surfaces.length))
+        append(if (pos(h(c, t.toLong, j.toLong, 7L), 5) == 0) pluralize(s0) else s0)
+      }
+      var w = 0
+      while (w < nWords) {
+        if (w == at) appendSurface()
+        append(fillers(pos(h(c, t.toLong, j.toLong, 3L, w.toLong), fillers.length)))
+        w += 1
+      }
+      if (at == nWords) appendSurface()
       if (j < nLines - 1)
         sb.append(if (pos(h(c, t.toLong, j.toLong, 14L), 7) == 0) "\n\n" else "\n")
       j += 1

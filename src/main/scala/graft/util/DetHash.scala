@@ -19,6 +19,22 @@ object DetHash {
   def h(parts: Long*): Long =
     parts.foldLeft(0x2545f4914f6cdd1dL)((acc, p) => mix(acc ^ mix(p)))
 
+  // Fixed-arity overloads of the SAME fold (bit-identical results, asserted
+  // in PropertySpec): the varargs form allocates a boxed Seq per call, and
+  // synthesis calls h once per generated WORD — it profiled at ~15% of all
+  // pipeline executor samples before these (r7).
+  private val Seed = 0x2545f4914f6cdd1dL
+  def h(a: Long, b: Long): Long =
+    mix(mix(Seed ^ mix(a)) ^ mix(b))
+  def h(a: Long, b: Long, c: Long): Long =
+    mix(h(a, b) ^ mix(c))
+  def h(a: Long, b: Long, c: Long, d: Long): Long =
+    mix(h(a, b, c) ^ mix(d))
+  def h(a: Long, b: Long, c: Long, d: Long, e: Long): Long =
+    mix(h(a, b, c, d) ^ mix(e))
+  def h(a: Long, b: Long, c: Long, d: Long, e: Long, f: Long): Long =
+    mix(h(a, b, c, d, e) ^ mix(f))
+
   /** Deterministic string hash (not JVM hashCode-dependent semantics-wise,
     * but String.hashCode is itself specified by the JLS so this is stable). */
   def hs(s: String): Long = {

@@ -26,6 +26,58 @@ class PropertySpec extends GraftSuite {
       6 -> lineGen, 2 -> Gen.const(""), 1 -> Gen.const("")))
       .map(_.mkString("\n"))
 
+  test("fixed-arity DetHash.h overloads are bit-identical to the varargs fold " +
+      "(r7 hot-path rewrite guard)") {
+    import graft.util.DetHash
+    check("dethash", Prop.forAll(Gen.listOfN(6, Gen.long)) { xs =>
+      val Seq(a, b, c, d, e, f) = xs: @unchecked
+      DetHash.h(a, b) == DetHash.h(Seq(a, b): _*) &&
+        DetHash.h(a, b, c) == DetHash.h(Seq(a, b, c): _*) &&
+        DetHash.h(a, b, c, d) == DetHash.h(Seq(a, b, c, d): _*) &&
+        DetHash.h(a, b, c, d, e) == DetHash.h(Seq(a, b, c, d, e): _*) &&
+        DetHash.h(a, b, c, d, e, f) == DetHash.h(Seq(a, b, c, d, e, f): _*)
+    })
+  }
+
+  test("synth generator rewrites are byte-identical: convId zero-pad and " +
+      "streamed turnText match the original formatting forms (r7 guard)") {
+    import graft.sources.SynthTranscripts._
+    check("convid", Prop.forAll(Gen.chooseNum(0L, 10000000L)) { c =>
+      convId(c) == f"conv_$c%06d"
+    })
+    // the original turnText form, verbatim (take/drop/mkString over arrays)
+    def turnTextOld(c: Long, t: Int, surfaces: Vector[String]): String = {
+      import graft.util.DetHash._
+      val nLines = 1 + pos(h(Seq(c, t.toLong, 1L): _*), 18)
+      val sb = new StringBuilder
+      var j = 0
+      while (j < nLines) {
+        val nWords = 4 + pos(h(Seq(c, t.toLong, j.toLong, 2L): _*), 5)
+        val words = Array.tabulate(nWords)(w =>
+          fillers(pos(h(Seq(c, t.toLong, j.toLong, 3L, w.toLong): _*), fillers.length)))
+        val line =
+          if (pos(h(Seq(c, t.toLong, j.toLong, 4L): _*), 10) < 4 && surfaces.nonEmpty) {
+            val si = pos(h(Seq(c, t.toLong, j.toLong, 5L): _*), surfaces.length)
+            val s0 = surfaces(si)
+            val s = if (pos(h(Seq(c, t.toLong, j.toLong, 7L): _*), 5) == 0) s0 + "s" else s0
+            val at = pos(h(Seq(c, t.toLong, j.toLong, 8L): _*), nWords + 1)
+            (words.take(at) ++ Array(s) ++ words.drop(at)).mkString(" ")
+          } else words.mkString(" ")
+        sb.append(line)
+        if (j < nLines - 1)
+          sb.append(if (pos(h(Seq(c, t.toLong, j.toLong, 14L): _*), 7) == 0) "\n\n" else "\n")
+        j += 1
+      }
+      sb.toString
+    }
+    val surfaces = graft.sources.Gazetteer.plantableSurfaces(48)
+    check("turntext", Prop.forAll(
+      Gen.chooseNum(0L, 5000L), Gen.chooseNum(0, 200)) { (c, t) =>
+      turnText(c, t, surfaces) == turnTextOld(c, t, surfaces) &&
+        turnText(c, t, Vector.empty) == turnTextOld(c, t, Vector.empty)
+    })
+  }
+
   test("segmentation oracle tiles the text: every segment matches its offset substring") {
     check("tiling", Prop.forAll(textGen) { text =>
       Segmentation.segmentTextOracle(text).forall { case (off, seg) =>

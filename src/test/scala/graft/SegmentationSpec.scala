@@ -51,6 +51,44 @@ class SegmentationSpec extends GraftSuite {
     assert(a === b)
   }
 
+  test("native segment kernel == retired SQL HOF expression on edge cases " +
+      "and == oracle (differential spec for the r7 hot-path rewrite)") {
+    import org.apache.spark.sql.functions.{col, expr, posexplode}
+    import spark.implicits._
+    val edges = Seq(
+      "",                          // empty text -> one empty segment at 0
+      "x",
+      "x\n\n",                     // trailing empty paragraph kept
+      "\n\nx",                     // leading empty paragraph
+      "a\n\n\nb",                  // odd '\n' run: paras ["a", "\nb"]
+      "a\n\n\n\nb",                // paras ["a", "", "b"]
+      "\n\n\n\n",                  // only separators
+      "a\nb\nc",
+      (1 to 10).map("L" + _).mkString("\n"),   // exactly one full chunk
+      (1 to 11).map("L" + _).mkString("\n"),   // chunk + 1-line tail
+      (1 to 25).map("L" + _).mkString("\n"),   // 3 chunks
+      "über\nmüde\n\nnaïve £5 → ✓\n日本語のテキスト\nx", // multi-byte UTF-8
+      "a\n\nb" * 7,
+      abcde)
+    val turns = edges.zipWithIndex
+      .map { case (t, i) => ("c0", i, t) }.toDF("conv_id", "turn_idx", "text")
+    def explode(segs: org.apache.spark.sql.Column) = turns
+      .select(col("turn_idx"), posexplode(segs).as(Seq("seg_idx", "seg")))
+      .select(col("turn_idx"), col("seg_idx"),
+        col("seg.seg_start").as("off"), col("seg.seg_text").as("txt"))
+      .as[(Int, Int, Int, String)].collect().sorted.toVector
+    val native = explode(graft.functions.Segments.turnSegments(col("text")))
+    val sqlHof = explode(expr(Segmentation.segmentsExpr))
+    assert(native === sqlHof)
+    // and both == the Python-literal oracle (code-point offsets: convert)
+    val oracle = edges.zipWithIndex.flatMap { case (t, i) =>
+      Segmentation.segmentTextOracle(t).zipWithIndex.map { case ((off, s), j) =>
+        (i, j, t.substring(0, off).codePointCount(0, off), s)
+      }
+    }.sorted.toVector
+    assert(native === oracle)
+  }
+
   test("plantable surfaces exist and gazetteer rows are well-formed") {
     val rows = Gazetteer.rows(48)
     assert(rows.map(r => (r.sab, r.code, r.str)).distinct.size === rows.size)
