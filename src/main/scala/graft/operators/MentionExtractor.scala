@@ -44,9 +44,25 @@ object MentionExtractor {
     * reference needs difflib re-alignment `src/algorithms/llm_ner.py:185-256`
     * because its LLM rewrites text; we don't). */
   def tokenize(text: String): (Array[String], Array[Int], Array[Int]) = {
-    val toks = new mutable.ArrayBuffer[String]
-    val starts = new mutable.ArrayBuffer[Int]
-    val ends = new mutable.ArrayBuffer[Int]
+    val (starts, ends, n) = tokenRanges(text)
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = text.substring(starts(i), ends(i)).toLowerCase
+      i += 1
+    }
+    (toks, starts, ends)
+  }
+
+  /** Token char ranges only — the hot path ([[extract]]) interns tokens
+    * straight from ranges via [[AhoCorasick.tokenIdRange]], so the
+    * per-token substring+toLowerCase allocations of [[tokenize]] (which
+    * profiled at ~10% of all pipeline executor samples, r7) never happen.
+    * Returns (starts, ends, count); the arrays may be longer than count. */
+  def tokenRanges(text: String): (Array[Int], Array[Int], Int) = {
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var k = 0
     var i = 0
     val n = text.length
     while (i < n) {
@@ -54,12 +70,16 @@ object MentionExtractor {
       if (Character.isLetterOrDigit(c)) {
         val s = i
         while (i < n && Character.isLetterOrDigit(text.charAt(i))) i += 1
-        toks += text.substring(s, i).toLowerCase
-        starts += s
-        ends += i
+        if (k == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, k * 2)
+          ends = java.util.Arrays.copyOf(ends, k * 2)
+        }
+        starts(k) = s
+        ends(k) = i
+        k += 1
       } else i += 1
     }
-    (toks.toArray, starts.toArray, ends.toArray)
+    (starts, ends, k)
   }
 
   def stemToken(t: String): String =
@@ -207,6 +227,51 @@ object MentionExtractor {
     out.iterator
   }
 
+  /** [[sweep]] over packed hits (r7 hot path): sort keys are single longs
+    * — start(19b) | inverted-end(19b) | ttyRank(2b) | pid(22b) — so the
+    * (start asc, end desc, rank asc) resolution is one primitive
+    * `Arrays.sort` with zero boxing (the tuple `sortBy` profiled at ~7% of
+    * pipeline executor samples). The pid tail makes the key total; ties at
+    * (start, end) cannot differ in pid (a span fixes the token-id sequence,
+    * which fixes the pattern), so the emitted mentions are IDENTICAL to the
+    * legacy stable-sort path (equality-tested in MentionSpec). */
+  private def sweepPacked(seg: Segment, vIdx: Int, hits: LongBuf,
+      payloads: Array[Payload], acc: Double,
+      starts: Array[Int], ends: Array[Int]): Iterator[Mention] = {
+    val n = hits.size
+    if (n == 0) return Iterator.empty
+    val invMax = (1 << AhoCorasick.TokBits) - 1
+    val keys = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val h = hits.buf(i)
+      val pid = AhoCorasick.hitPid(h)
+      keys(i) = (AhoCorasick.hitStart(h).toLong << 43) |
+        ((invMax - AhoCorasick.hitEnd(h)).toLong << 24) |
+        (payloads(pid).ttyRank.toLong << 22) | pid.toLong
+      i += 1
+    }
+    java.util.Arrays.sort(keys)
+    val out = new mutable.ArrayBuffer[Mention]
+    var lastEnd = -1 // token index
+    i = 0
+    while (i < n) {
+      val k = keys(i)
+      val ts = (k >>> 43).toInt
+      if (ts >= lastEnd) {
+        val te = invMax - ((k >>> 24) & invMax).toInt
+        val p = payloads((k & ((1 << AhoCorasick.PidBits) - 1)).toInt)
+        out += Mention(seg.conv_id, seg.turn_idx, vIdx,
+          seg.seg_start + starts(ts), seg.seg_start + ends(te - 1),
+          seg.seg_text.substring(starts(ts), ends(te - 1)),
+          p.cui, p.source, p.code, p.alias, acc)
+        lastEnd = te
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
   /** The operator: 3-variant ensemble NER as one narrow flatMap.
     *
     * Tries 0 and 1 share ONE automaton walk: variant 1's patterns (ISPREF
@@ -229,14 +294,28 @@ object MentionExtractor {
         val v0 = variantFor(fp, gazB.value, 0)
         val v2 = variantFor(fp, gazB.value, 2)
         it.flatMap { seg =>
-          val (toks0, starts, ends) = tokenize(seg.seg_text)
-          val ids = toks0.map(v0.ac.tokenId)
-          val hits = v0.ac.findAll(ids)
-          val hitsPref = hits.filter { case (_, _, pid) =>
-            v0.payloadsPref(pid) != null }
-          sweep(seg, 0, hits, v0.payloads, v0.acc, starts, ends) ++
-            sweep(seg, 1, hitsPref, v0.payloadsPref, v0.acc, starts, ends) ++
-            matchTokens(seg, 2, v2, toks0, starts, ends)
+          val text = seg.seg_text
+          val (starts, ends, nToks) = tokenRanges(text)
+          val ids0 = new Array[Int](nToks)
+          val ids2 = new Array[Int](nToks)
+          var i = 0
+          while (i < nToks) {
+            ids0(i) = v0.ac.tokenIdRange(text, starts(i), ends(i), stem = false)
+            ids2(i) = v2.ac.tokenIdRange(text, starts(i), ends(i), stem = true)
+            i += 1
+          }
+          val hits = v0.ac.findAllPacked(ids0)
+          val hitsPref = new LongBuf(math.max(4, hits.size))
+          i = 0
+          while (i < hits.size) {
+            if (v0.payloadsPref(AhoCorasick.hitPid(hits.buf(i))) != null)
+              hitsPref.add(hits.buf(i))
+            i += 1
+          }
+          sweepPacked(seg, 0, hits, v0.payloads, v0.acc, starts, ends) ++
+            sweepPacked(seg, 1, hitsPref, v0.payloadsPref, v0.acc, starts, ends) ++
+            sweepPacked(seg, 2, v2.ac.findAllPacked(ids2), v2.payloads,
+              v2.acc, starts, ends)
         }
       }
     }
