@@ -679,17 +679,21 @@ object Bench {
     // efficiency measures the parallel region, and as the engine gets
     // faster round-over-round the corpus must grow to keep fixed per-job
     // latency (~2-4s of scheduling/broadcast/codegen) from masquerading as
-    // lost efficiency at the high-core side.
-    val multA = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT_A", "16").toInt
+    // lost efficiency at the high-core side. Doubled 16→32 / 64→128 in r7
+    // after the ~2.4× extraction speedup (native segmentation kernel +
+    // packed-hit extractor) would have cut the low sides to ~25-35s —
+    // throughput (triples/s) stays comparable across rounds; block
+    // wall-clock is restored to the r6/r7 regime, not performance movement.
+    val multA = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT_A", "32").toInt
     // The 8→32 pair needs a 4× larger corpus than 2→8: both host controls
     // (ALU, memory bandwidth) scale near-linearly to 32 threads, so the
     // residual 8→32 gap at small corpora is FIXED per-job latency
     // (scheduling ~1.5k tasks, broadcast build, codegen) against a ~8s run
     // — Amdahl on the driver, not the plan. Scaling work per core equally
     // across pairs keeps the parallel region dominant at both. Measured at
-    // mult=64 (KgTime): 8 cores 109s, 32 cores 26.6s — 4.1× of the 4×
-    // ideal, i.e. the plan itself scales ~1.0 once work dominates.
-    val multB = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT_B", "64").toInt
+    // mult=64 (KgTime, r6 HEAD): 8 cores 109s, 32 cores 26.6s — 4.1× of
+    // the 4× ideal, i.e. the plan itself scales ~1.0 once work dominates.
+    val multB = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT_B", "128").toInt
 
     // global warm-up: JIT + codegen + automaton caches are JVM-wide; the
     // throwaway bw measurement pages in the 512 MB probe array so the
