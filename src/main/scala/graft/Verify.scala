@@ -12,6 +12,10 @@ object Verify {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // cluster-scale shuffle writer (see Bench.session): one file per
+      // map task instead of numPartitions files at partitions < 200
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.shuffle.file.buffer", "256k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

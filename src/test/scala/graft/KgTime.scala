@@ -15,6 +15,12 @@ object KgTime {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
+      // default to the cluster-scale shuffle writer (see Bench.session);
+      // -Dspark.shuffle.* sys props still override for A/B runs
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.props.getOrElse("spark.shuffle.sort.bypassMergeThreshold", "1"))
+      .config("spark.shuffle.file.buffer",
+        sys.props.getOrElse("spark.shuffle.file.buffer", "256k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
