@@ -98,7 +98,17 @@ object Pipeline {
     * join) is paid exactly ONCE, at write time. Bucketing needs the
     * session catalog, so stage tables get a dir-scoped table name next to
     * their parquet path. */
-  private val StageBuckets = 32
+  /** Bucket count for the stage tables. Tunable (`graft.stage.buckets`
+    * sys prop) because it fixes the zero-exchange read-back's parallelism
+    * (one task per bucket): a cluster deployment must size it to its
+    * total executor-core count, which this box cannot anticipate. On
+    * local[32] an interleaved A/B of 32/64/128 buckets read a wash
+    * (23.5/25.9/23.9s staged end-to-end at mult=64) — task-wave packing
+    * is not the local staged bottleneck — so the default stays 32 (= the
+    * bench's max core count). A writer and any cross-session reader of
+    * the same stage dir must use the same value (the catalog re-declare
+    * in [[ensureStageTable]] uses this constant). */
+  private val StageBuckets = sys.props.getOrElse("graft.stage.buckets", "32").toInt
 
   private[graft] def stageTable(stageDir: String, name: String): String =
     s"graft_stage_${name}_${java.lang.Integer.toHexString(stageDir.hashCode)}"
