@@ -222,6 +222,32 @@ class Round7Spec extends GraftSuite {
     rmAll(stage)
   }
 
+  test("stage tables are written with the configured codec (zstd default): " +
+      "the parquet footers say so, not just the option string") {
+    val cfg = Pipeline.Config(nConvs = 8, nBase = 48)
+    val stage = Files.createTempDirectory("graft_codec_stage").toString
+    Pipeline.writeLinkedStage(spark, cfg, stage)
+    val hconf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(s"$stage/linked")
+    val fs = dir.getFileSystem(hconf)
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+      try {
+        val codecs = reader.getFooter.getBlocks.get(0).getColumns
+          .asInstanceOf[java.util.List[
+            org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]]
+        assert(codecs.get(0).getCodec.toString === "ZSTD",
+          s"stage file $p not zstd-compressed")
+      } finally reader.close()
+    }
+    Pipeline.dropStageTables(spark, stage)
+    rmAll(stage)
+  }
+
   test("vector-index compaction fence (IVF + LSH parity with the minhash " +
       "fence): a below-fence append fails loudly, an at-fence append works, " +
       "probe parity is preserved") {
