@@ -78,6 +78,47 @@ object SignatureExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Exact-Jaccard verify kernel (r8): replaces the
+    * `size(array_intersect(a,b)) / (size(a)+size(b)−inter)` HOF tail of
+    * every true-Jaccard verify — same arithmetic (Signatures.jaccard
+    * scaladoc), no intermediate array materialization. */
+  case class JaccardExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_jaccard"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Signatures.jaccard(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Signatures.jaccard($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Random-hyperplane LSH signature kernel (r8): the native form of
+    * Similarity.lshSignatureHof (bit-parity asserted in Round8Spec) — the
+    * HOF form allocated one sequence + one zip array per plane per row. */
+  case class LshSigExpr(child: Expression, bits: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_lsh_sig"
+    private def isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      Signatures.lshSignature(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        isFloat, bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Signatures.lshSignature($c, $isFloat, $bits)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column API ----
 
   def cosine(a: Column, b: Column): Column =
@@ -91,4 +132,10 @@ object SignatureExprs {
 
   def minhashSig(text: Column, m: Int, k: Int): Column =
     ColumnShim.column(MinHashSigExpr(ColumnShim.expression(text), m, k))
+
+  def jaccard(a: Column, b: Column): Column =
+    ColumnShim.column(JaccardExpr(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def lshSig(vec: Column, bits: Int): Column =
+    ColumnShim.column(LshSigExpr(ColumnShim.expression(vec), bits))
 }

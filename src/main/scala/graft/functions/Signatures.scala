@@ -123,6 +123,86 @@ object Signatures {
     if (sa > 0 && sb > 0) dot / (sa * sb) else 0.0
   }
 
+  /** Exact Jaccard of two long arrays whose DISTINCT-element intersection
+    * is wanted against their RAW lengths — mirrors the HOF verify tail
+    * `size(array_intersect(a, b)) / (size(a) + size(b) − inter)` exactly
+    * (array_intersect dedups; raw sizes count duplicates; division is the
+    * same int-to-double divide). Inputs here are [[shingleHashes]] outputs
+    * (already distinct), but duplicate `b` elements are counted once via
+    * the matched flag, so the result equals the HOF form on ANY input with
+    * distinct `a`. One open-addressing probe per element, no array
+    * materialization — replaces the array_intersect verify that profiled
+    * at ~38 s CPU per recall surface at sf0.1. */
+  def jaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    // power-of-two table ≥ 2×na, min 8
+    var cap = 8
+    while (cap < na * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val state = new Array[Byte](cap) // 0 empty, 1 present, 2 matched
+    val mask = cap - 1
+    var i = 0
+    while (i < na) {
+      val k = a.getLong(i)
+      var p = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mask
+      var done = false
+      while (!done) {
+        if (state(p) == 0) { keys(p) = k; state(p) = 1; done = true }
+        else if (keys(p) == k) done = true
+        else p = (p + 1) & mask
+      }
+      i += 1
+    }
+    var inter = 0
+    i = 0
+    while (i < nb) {
+      val k = b.getLong(i)
+      var p = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mask
+      var done = false
+      while (!done) {
+        if (state(p) == 0) done = true
+        else if (keys(p) == k) {
+          if (state(p) == 1) { state(p) = 2; inter += 1 }
+          done = true
+        } else p = (p + 1) & mask
+      }
+      i += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  /** `bits`-bit random-hyperplane LSH signature — mirrors
+    * Similarity.lshSignatureHof bit-for-bit: plane p's ±1 component for
+    * dimension i is the parity of xxhash64(i·31 + p·100003) (an INT input,
+    * Spark seed 42), the projection is the in-order left fold
+    * Σ x_i·sign_i over the double-cast elements, and bit p is set iff the
+    * projection is > 0. `isFloat` selects the element reader (parquet
+    * float vectors vs double literal query vectors), like [[cosine]]. */
+  def lshSignature(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      isFloat: Boolean, bits: Int): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      val base = p * 100003
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashInt(i * 31 + base, Seed)
+        // pmod(h, 2) == 0 ⟺ low bit clear (pmod maps −1 → 1)
+        proj += (if ((h & 1L) == 0L) x else -x)
+        i += 1
+      }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** SimHash-64 of the token multiset — mirrors Dedup.simhash64: per token
     * hash, ±1 per bit, sign-bit sig. */
   def simhash64(text: UTF8String): Long = {

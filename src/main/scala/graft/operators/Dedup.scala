@@ -1,7 +1,9 @@
 package graft.operators
 
+import graft.util.Par
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Large-scale training-data deduplication suite (builder brief): exact,
   * MinHash+LSH, SimHash and n-gram-Jaccard near-dup — each expressed so the
@@ -70,26 +72,39 @@ object Dedup {
     * over-cap buckets (and how many docs each held) for the same inputs —
     * zero rows certifies that the cap dropped nothing. */
   private def capBuckets(exploded: DataFrame, keyCols: Seq[String],
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, cache: Boolean = true): DataFrame = {
+    // corpus-scale callers persist: the exploded bucket table feeds BOTH
+    // the size aggregation and the join below (and the caller's
+    // self-join), so the signature kernel would otherwise re-run per
+    // consumer (guide §5 — reuse beats recompute for a table this narrow:
+    // (keys, id) rows). Delta-scale callers (the incremental probe, the
+    // stream) pass cache=false: their recompute is small and the extra
+    // cache-build barriers measured as a net loss per micro-batch.
+    val e = if (cache) exploded.persist(StorageLevel.MEMORY_AND_DISK)
+      else exploded
     val keys = keyCols.map(col)
-    val sizes = exploded.groupBy(keys: _*)
+    val sizes = e.groupBy(keys: _*)
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
     // both sides shuffle on the bucket key — co-partitioned join, and the
     // downstream self-join reuses the same partitioning
-    exploded.join(sizes, keyCols)
+    e.join(sizes, keyCols)
   }
 
   /** Candidate id pairs from a bucketed self-join: dedup happens on BARE
     * id pairs (16 bytes) before any payload is re-attached, so the
     * distinct() shuffle never carries signature arrays. */
-  private def bucketPairIds(buckets: DataFrame, keyCols: Seq[String]): DataFrame =
-    buckets.select(keyCols.map(col) :+ col("id").as("id_a"): _*)
-      .join(buckets.select(keyCols.map(col) :+ col("id").as("id_b"): _*), keyCols)
+  private def bucketPairIds(buckets: DataFrame, keyCols: Seq[String],
+      cache: Boolean = true): DataFrame = {
+    val b = if (cache) buckets.persist(StorageLevel.MEMORY_AND_DISK)
+      else buckets
+    b.select(keyCols.map(col) :+ col("id").as("id_a"): _*)
+      .join(b.select(keyCols.map(col) :+ col("id").as("id_b"): _*), keyCols)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair can collide in several buckets
+  }
 
   /** Over-cap bucket sizes (the audit surface of [[capBuckets]]). */
   private def droppedBuckets(exploded: DataFrame, keyCols: Seq[String],
@@ -120,17 +135,38 @@ object Dedup {
     if (maxBucket > 0) maxBucket
     else math.min(math.max(1000L, (nDocs + 1) / 2), Int.MaxValue.toLong).toInt
 
-  /** The (band, bkey) LSH banding of a corpus's minhash signatures. */
-  private def bandedMinhash(df: DataFrame, idCol: String, textCol: String,
-      m: Int, bands: Int, k: Int): DataFrame = {
+  /** Fan the narrow (id, text) projection of a CORPUS-scale input across
+    * the session's cores before kernel work (guide §2/§6: a single small
+    * parquet file is one scan split, so every signature kernel otherwise
+    * serializes on one core — measured 1.1–4.5 s single-task stages at
+    * sf0.1 on local[32]). Call this ONLY at corpus-scale entry points:
+    * fanning a small delta (the incremental probe, a stream micro-batch)
+    * just multiplies per-stage scheduling overhead — measured a net
+    * REGRESSION on dd_stream when applied unconditionally. */
+  private def corpusSrc(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Par.fanOut(df.select(col(idCol), col(textCol)))
+
+  /** (id, sig) minhash signature table — the shared head of the banding
+    * and the signature re-attach joins. */
+  private def minhashSigTable(df: DataFrame, idCol: String, textCol: String,
+      m: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("_text"))
+      .select(col("id"),
+        graft.functions.SignatureExprs.minhashSig(col("_text"), m, k).as("sig"))
+
+  /** The (band, bkey) banding projection over a signature table. */
+  private def bandsOfSig(sig: DataFrame, m: Int, bands: Int): DataFrame = {
     val r = m / bands
-    val sig = df.select(col(idCol).as("id"),
-      graft.functions.SignatureExprs.minhashSig(col(textCol), m, k).as("sig"))
     sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r)).cast("string"), b)))
         .as(Seq("band", "bkey")))
   }
+
+  /** The (band, bkey) LSH banding of a corpus's minhash signatures. */
+  private def bandedMinhash(df: DataFrame, idCol: String, textCol: String,
+      m: Int, bands: Int, k: Int): DataFrame =
+    bandsOfSig(minhashSigTable(df, idCol, textCol, m, k), m, bands)
 
   /** Buckets [[minhashLshPairs]] would skip at this `maxBucket` (same
     * params ⇒ same banding): (band, bkey, bucket_n). Zero rows ⇒ the cap
@@ -141,7 +177,8 @@ object Dedup {
     * state the cap of the surface it is auditing. */
   def minhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
       m: Int = 32, bands: Int = 8, k: Int = 3, maxBucket: Int): DataFrame =
-    droppedBuckets(bandedMinhash(df, idCol, textCol, m, bands, k),
+    droppedBuckets(bandedMinhash(corpusSrc(df, idCol, textCol), idCol,
+        textCol, m, bands, k),
       Seq("band", "bkey"), effectiveCap(df, maxBucket))
 
   /** MinHash+LSH near-dup pairs: band the signature (b bands × r rows),
@@ -153,10 +190,11 @@ object Dedup {
       m: Int = 32, bands: Int = 8, threshold: Double = 0.7, k: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
     // native codegen'd signature kernel (graft.functions.SignatureExprs);
-    // bit-identical to minhashSignature (parity-tested), ~10× faster
-    val sig = df.select(col(idCol).as("id"),
-      graft.functions.SignatureExprs.minhashSig(col(textCol), m, k).as("sig"))
-    val banded = bandedMinhash(df, idCol, textCol, m, bands, k)
+    // bit-identical to minhashSignature (parity-tested), ~10× faster.
+    // Computed ONCE (persist): banding + both re-attach joins share it
+    val sig = minhashSigTable(corpusSrc(df, idCol, textCol), idCol, textCol, m, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = bandsOfSig(sig, m, bands)
     bucketPairIds(capBuckets(banded, Seq("band", "bkey"), maxBucket),
         Seq("band", "bkey"))
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -185,11 +223,12 @@ object Dedup {
     // signature kernel pads them to one short shingle for LSH bucketing,
     // but "near-dup" is undefined below one full shingle — and the exact
     // SQL oracles exclude them the same way)
-    val banded = bandedMinhash(df, idCol, textCol, m, bands, k)
+    val src = corpusSrc(df, idCol, textCol)
+    val banded = bandedMinhash(src, idCol, textCol, m, bands, k)
     verifyTrueJaccard(
       bucketPairIds(capBuckets(banded, Seq("band", "bkey"),
         effectiveCap(df, maxBucket)), Seq("band", "bkey")),
-      df, idCol, textCol, k, trueThreshold)
+      src, idCol, textCol, k, trueThreshold)
   }
 
   /** (id, sh) k-shingle-hash table of a corpus: docs shorter than k words
@@ -199,7 +238,8 @@ object Dedup {
     * definition so the batch and incremental predicates can't drift. */
   private def shingleTable(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    df.filter(size(words(col(textCol))) >= k)
+    df.select(col(idCol), col(textCol))
+      .filter(size(words(col(textCol))) >= k)
       .select(col(idCol).as("id"),
         graft.functions.SignatureExprs.shingleHashes(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -217,13 +257,21 @@ object Dedup {
     * the incremental path verifies against INDEXED shingle sets (computed
     * once at build) unioned with the delta's. */
   private def verifyTrueJaccardSh(pairIds: DataFrame, sh: DataFrame,
-      trueThreshold: Double): DataFrame = {
+      trueThreshold: Double, cacheSh: Boolean = true): DataFrame = {
+    // corpus callers persist: the shingle table is joined twice (sh_a,
+    // sh_b) and the tokenize+shingle kernel would run once per side. The
+    // delta probe passes cacheSh=false — its sh is mostly a parquet read
+    // of the index's docs table, where the cache build costs more than
+    // the second scan. The jaccard itself is the native kernel (same
+    // arithmetic as the old size(array_intersect)/… tail —
+    // Signatures.jaccard scaladoc).
+    val s = if (cacheSh) sh.persist(StorageLevel.MEMORY_AND_DISK)
+      else sh
     pairIds
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(s.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(s.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+        graft.functions.SignatureExprs.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= trueThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -249,6 +297,9 @@ object Dedup {
       maxBucket: Int = 0): DataFrame = {
     val pairs = minhashLshTrueJaccardPairs(df, idCol, textCol, m, bands,
       trueThreshold, k, maxBucket)
+    // NOT persisted (r8 A/B): ids/withComp recompute is a trivial distinct
+    // + a join against the CC output, which ConnectedComponents already
+    // localCheckpoints — two cache builds here measured +0.7 s at sf0.1
     val ids = df.select(col(idCol).as("orig")).distinct()
       .withColumn("nid", xxhash64(col("orig").cast("string")))
     val edges = pairs
@@ -290,19 +341,28 @@ object Dedup {
     * signatures (pigeonhole: a pair within hamming ≤ nBlocks−1 agrees
     * exactly on ≥ 1 block). nBlocks=4 (16-bit keys) is the scale default —
     * wider keys prune harder; more blocks widen the guaranteed hamming. */
-  private def blockedSimhash(df: DataFrame, idCol: String, textCol: String,
-      nBlocks: Int = 4): DataFrame = {
+  /** (id, sig) simhash signature table. */
+  private def simhashSigTable(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("_text"))
+      .select(col("id"),
+        graft.functions.SignatureExprs.simhash64(col("_text")).as("sig"))
+
+  /** The nBlocks block-key projection over a simhash signature table. */
+  private def blocksOfSig(sigs: DataFrame, nBlocks: Int): DataFrame = {
     require(64 % nBlocks == 0, s"nBlocks must divide 64, got $nBlocks")
     val w = 64 / nBlocks
     val mask = if (w == 64) -1L else (1L << w) - 1
-    val sigs = df.select(col(idCol).as("id"),
-      graft.functions.SignatureExprs.simhash64(col(textCol)).as("sig"))
     sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(nBlocks - 1)),
         b => call_function("shiftright", col("sig"), (b * w).cast("int"))
           .bitwiseAND(lit(mask))))
         .as(Seq("block", "bkey")))
   }
+
+  private def blockedSimhash(df: DataFrame, idCol: String, textCol: String,
+      nBlocks: Int = 4): DataFrame =
+    blocksOfSig(simhashSigTable(df, idCol, textCol), nBlocks)
 
   /** Buckets [[simhashPairs]] (nBlocks = 4) or [[simhashTrueJaccardPairs]]
     * (nBlocks = 8) would skip at this `maxBucket`: (block, bkey, bucket_n).
@@ -312,7 +372,8 @@ object Dedup {
     * [[minhashDroppedBuckets]]): state the audited surface's cap. */
   def simhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
       maxBucket: Int, nBlocks: Int = 4): DataFrame =
-    droppedBuckets(blockedSimhash(df, idCol, textCol, nBlocks),
+    droppedBuckets(blockedSimhash(corpusSrc(df, idCol, textCol), idCol,
+        textCol, nBlocks),
       Seq("block", "bkey"), effectiveCap(df, maxBucket))
 
   /** SimHash near-dup pairs: block on 4×16-bit sub-keys (a pair within
@@ -322,9 +383,11 @@ object Dedup {
     * [[simhashDroppedBuckets]]). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      graft.functions.SignatureExprs.simhash64(col(textCol)).as("sig"))
-    val blocked = blockedSimhash(df, idCol, textCol)
+    // one persisted signature table feeds the blocking AND both re-attach
+    // joins (see minhashLshPairs)
+    val sigs = simhashSigTable(corpusSrc(df, idCol, textCol), idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val blocked = blocksOfSig(sigs, 4)
     bucketPairIds(capBuckets(blocked, Seq("block", "bkey"), maxBucket),
         Seq("block", "bkey"))
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -363,11 +426,12 @@ object Dedup {
     // bucket luck, and the recall gate is against pure Jaccard; a
     // pre-filter measurably drops such a pair (sf0.001: J=0.889 at
     // hamming 8) and turns a recall surface into a recall leak.
-    val blocked = blockedSimhash(df, idCol, textCol, nBlocks)
+    val src = corpusSrc(df, idCol, textCol)
+    val blocked = blockedSimhash(src, idCol, textCol, nBlocks)
     verifyTrueJaccard(
       bucketPairIds(capBuckets(blocked, Seq("block", "bkey"),
         effectiveCap(df, maxBucket)), Seq("block", "bkey")),
-      df, idCol, textCol, k, trueThreshold)
+      src, idCol, textCol, k, trueThreshold)
   }
 
   /** Margin audit of [[simhashTrueJaccardPairs]] (ADVICE r4): the maximum
@@ -402,29 +466,28 @@ object Dedup {
     // short-doc padding is for LSH bucketing only, and the exact SQL
     // oracle excludes them the same way (the other two true-Jaccard
     // surfaces already filtered; this one silently paired padded shorties)
-    val sh = df.filter(size(words(col(textCol))) >= k)
-      .select(col(idCol).as("id"),
-        graft.functions.SignatureExprs.shingleHashes(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // one persisted shingle table (over the fanned-out corpus) feeds the
+    // inverted index, the df count, and both verify joins — previously the
+    // tokenize+shingle kernel re-ran per consumer (~6× at sf0.1)
+    val sh = shingleTable(corpusSrc(df, idCol, textCol), idCol, textCol, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // candidate ids only through the join+distinct — shingle ARRAYS are
     // re-attached afterwards so the dedup shuffle moves 16-byte pairs, not
     // full shingle sets
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
     val dfCount = inv.groupBy("s").agg(count(lit(1)).as("df"))
     val rare = inv.join(dfCount.filter(col("df") <= maxDf), "s").select("s", "id")
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
     val pairIds = rare.select(col("s"), col("id").as("id_a"))
       .join(rare.select(col("s"), col("id").as("id_b")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val pairs = pairIds
+    pairIds
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    pairs
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni",
-        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .withColumn("jaccard", col("inter") / col("uni").cast("double"))
+      .withColumn("jaccard",
+        graft.functions.SignatureExprs.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -469,12 +532,19 @@ object Dedup {
       nShards: Int = 64): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    bandedMinhash(df, idCol, textCol, m, bands, k)
+    // repartition by the partition column BEFORE the partitioned write
+    // (guide §6): each write task then holds whole bshards — ~nShards
+    // files total instead of (tasks × nShards) row-group shards — and the
+    // signature kernel upstream runs parallel (fan-out inside
+    // bandedMinhash) instead of on the source's scan splits
+    val src = corpusSrc(df, idCol, textCol)
+    bandedMinhash(src, idCol, textCol, m, bands, k)
       .withColumn("bshard", pmod(col("bkey"), lit(nShards.toLong)))
+      .repartition(col("bshard"))
       .withColumn("epoch", lit(0L))
       .write.mode("overwrite").partitionBy("epoch", "bshard")
       .parquet(s"$path/bands")
-    shingleTable(df, idCol, textCol, k)
+    shingleTable(src, idCol, textCol, k)
       .withColumn("epoch", lit(0L))
       .write.mode("overwrite").partitionBy("epoch").parquet(s"$path/docs")
     // FULL doc count (short docs included — `docs` excludes them), so the
@@ -576,7 +646,8 @@ object Dedup {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(cols: _*).parquet(s"$path/$sub")
     dyn(bandedMinhash(delta, idCol, textCol, m, bands, k)
-      .withColumn("bshard", pmod(col("bkey"), lit(nShards.toLong))),
+      .withColumn("bshard", pmod(col("bkey"), lit(nShards.toLong)))
+      .repartition(col("bshard")), // one file per touched shard (guide §6)
       Seq("epoch", "bshard"), "bands")
     dyn(shingleTable(delta, idCol, textCol, k), Seq("epoch"), "docs")
     dyn(Seq((delta.count(), foldUpto)).toDF("n_docs", "fold_upto"),
@@ -676,7 +747,10 @@ object Dedup {
     // batch, small relative to the corpus by design; the blocks are
     // reclaimed by the session's persistent-RDD sweep)
     val d = delta.select(col(idCol), col(textCol)).localCheckpoint()
+    // the delta banding feeds the shard-list collect AND the pair join:
+    // persist so the delta's signatures are computed once
     val deltaBanded = bandedMinhash(d, idCol, textCol, m, bands, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // bounded driver collect: at most nShards values by construction
     val shards = deltaBanded
       .select(pmod(col("bkey"), lit(nShards.toLong)).as("bshard"))
@@ -685,9 +759,12 @@ object Dedup {
     // markers (ADVICE r5): bands/docs rows from a crashed half-append
     // carry an epoch absent from meta and must be invisible to the probe,
     // or the verify join silently drops that epoch's pairs while the cap
-    // basis undercounts. Bounded collect: one meta row per append.
-    val committedEpochs = spark.read.parquet(s"$path/meta")
-      .select(col("epoch").cast("long")).collect().map(_.getLong(0))
+    // basis undercounts. Bounded collect: one meta row per append — ONE
+    // read serves both the epoch gate and the cap basis's doc count
+    // (previously two separate meta scans/jobs).
+    val metaRows = spark.read.parquet(s"$path/meta")
+      .select(col("epoch").cast("long"), col("n_docs").cast("long")).collect()
+    val committedEpochs = metaRows.map(_.getLong(0))
     // explicit selects: the index tables carry an `epoch` partition
     // column (replay scoping) the probe must not leak into its joins
     val idxDocs = spark.read.parquet(s"$path/docs")
@@ -697,11 +774,12 @@ object Dedup {
       .filter(col("epoch").isin(committedEpochs: _*)
         && col("bshard").isin(shards: _*))
       .select(col("id"), col("band"), col("bkey"))
-    // cap basis = the index's recorded FULL doc count (meta) + the delta's
-    // full count — the same corpus∪delta basis as the batch path (the
-    // `docs` shingle table undercounts by the short docs); by-name, so a
-    // fixed positive maxBucket skips both counts entirely
-    val cap = effectiveCapN(indexedDocCount(spark, path) + d.count(), maxBucket)
+    // cap basis = the index's recorded FULL doc count (meta, already
+    // collected above) + the delta's full count — the same corpus∪delta
+    // basis as the batch path (the `docs` shingle table undercounts by the
+    // short docs); by-name, so a fixed positive maxBucket skips the
+    // delta count entirely
+    val cap = effectiveCapN(metaRows.map(_.getLong(1)).sum + d.count(), maxBucket)
     val sh = idxDocs.unionByName(shingleTable(d, idCol, textCol, k))
     deltaPairsFromBanded(idxBanded, deltaBanded, sh, cap, trueThreshold)
   }
@@ -715,7 +793,7 @@ object Dedup {
       trueThreshold: Double): DataFrame = {
     val union = corpusBanded.withColumn("is_delta", lit(false))
       .unionByName(deltaBanded.withColumn("is_delta", lit(true)))
-    val capped = capBuckets(union, Seq("band", "bkey"), cap)
+    val capped = capBuckets(union, Seq("band", "bkey"), cap, cache = false)
     val keys = Seq(col("band"), col("bkey"))
     val pairIds = capped
       .select(keys :+ col("id").as("id_a") :+ col("is_delta").as("del_a"): _*)
@@ -725,7 +803,7 @@ object Dedup {
       .filter(col("del_a") || col("del_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    verifyTrueJaccardSh(pairIds, sh, trueThreshold)
+    verifyTrueJaccardSh(pairIds, sh, trueThreshold, cacheSh = false)
   }
 
   /** [[incrementalTrueJaccardPairs]]' predicate with BOTH sides in-flight
@@ -758,8 +836,11 @@ object Dedup {
       path: String, delta: DataFrame, idCol: String, textCol: String,
       m: Int = 32, bands: Int = 16, trueThreshold: Double = 0.5, k: Int = 3,
       nShards: Int = 64, maxBucket: Int = 0): DataFrame = {
+    // the verified pair set feeds BOTH victim branches below: persist so
+    // the whole probe DAG (index scan + banding + verify) runs once
     val pairs = incrementalTrueJaccardPairs(spark, path, delta, idCol,
       textCol, m, bands, trueThreshold, k, nShards, maxBucket)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deltaIds = delta.select(col(idCol).as("did"))
     // victims: the greater side of any pair is always dropped when it is
     // a delta doc; the smaller side is dropped only when its partner is a

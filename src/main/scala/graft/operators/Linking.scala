@@ -168,11 +168,17 @@ object Linking {
     // xxhash64 hashes the nested array<struct> directly — a to_json
     // serialization here measured ~20s CPU per consumer at sf0.1
     val comboKey = Seq("qkey", "surface", "fentries")
+    // norm feeds the combo distinct AND the final mention join-back, and
+    // the facet normalization (map_entries + sort_array + xxhash64 per
+    // row) is the expensive part of both — persist so it runs once (r8;
+    // profiled ~8-11 s CPU per consumer at sf0.1)
     val norm = mentions.withColumn("fentries",
       sort_array(map_entries(coalesce(col("facets"),
         expr("map()").cast("map<string,array<string>>")))))
       .withColumn("qkey", xxhash64(col("surface"), col("fentries")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val combos = norm.select(col("qkey"), col("surface"), col("fentries")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // clauses of a combo: the surface + every facet keyword. Each entry's
     // keyword array is null-coalesced FIRST — flatten() nulls out on any
     // null nested array, which would explode to zero clause rows and drop

@@ -27,12 +27,16 @@ object RangeJoin {
       startCol: String, endCol: String, bandWidth: Double): DataFrame = {
     require(bandWidth > 0, "bandWidth must be positive")
     val keys = keyCols.map(col)
-    val banded = df.select(
-      keys :+ col(idCol).as("_id") :+ col(startCol).cast("double").as("_s")
-        :+ col(endCol).cast("double").as("_e"): _*)
+    // fan-out before the band explode (single-file inputs otherwise run
+    // the whole map side on one task — guide §2/§6) and persist: both
+    // self-join sides read the same banded table
+    val banded = graft.util.Par.fanOut(df.select(
+        keys :+ col(idCol).as("_id") :+ col(startCol).cast("double").as("_s")
+          :+ col(endCol).cast("double").as("_e"): _*))
       .withColumn("_band", explode(sequence(
         floor(col("_s") / bandWidth).cast("long"),
         floor(col("_e") / bandWidth).cast("long"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(keys :+ col("_band") :+ col("_id").as("id_a")
       :+ col("_s").as("s_a") :+ col("_e").as("e_a"): _*)
     val b = banded.select(keys :+ col("_band") :+ col("_id").as("id_b")
@@ -40,7 +44,13 @@ object RangeJoin {
     a.join(b, keyCols :+ "_band")
       .filter(col("id_a") < col("id_b") &&
         col("s_a") < col("e_b") && col("s_b") < col("e_a"))
+      // emit each pair ONCE, in its canonical band — the band holding
+      // max(s_a, s_b), which two overlapping intervals always share —
+      // instead of emitting per shared band and paying a distinct()
+      // shuffle over the full pair set (guide §2.4: remove the shuffle
+      // outright; the old plan moved every candidate pair once more)
+      .filter(col("_band") ===
+        floor(greatest(col("s_a"), col("s_b")) / bandWidth).cast("long"))
       .select(keys :+ col("id_a") :+ col("id_b"): _*)
-      .distinct() // a pair can share several bands
   }
 }

@@ -50,8 +50,17 @@ object Similarity {
     when(pmod(xxhash64(dim * 31 + lit(plane * 100003)), lit(2)) === 0, lit(1.0))
       .otherwise(lit(-1.0))
 
-  /** `bits`-bit random-hyperplane signature of a vector column. */
-  def lshSignature(vec: Column, bits: Int): Column = {
+  /** `bits`-bit random-hyperplane signature of a vector column — the
+    * native codegen'd kernel (r8; graft.functions.SignatureExprs.LshSigExpr,
+    * bit-identical to [[lshSignatureHof]], parity-tested in Round8Spec):
+    * the HOF form allocated one sequence + one zip array per plane per
+    * row and evaluated `bits` separate aggregates. */
+  def lshSignature(vec: Column, bits: Int): Column =
+    graft.functions.SignatureExprs.lshSig(vec, bits)
+
+  /** Reference higher-order-function form of [[lshSignature]] — kept as
+    * the executable spec the native expression is verified against. */
+  def lshSignatureHof(vec: Column, bits: Int): Column = {
     val vd = transform(vec, x => x.cast("double"))
     val bitCols = (0 until bits).map { p =>
       val proj = aggregate(
@@ -90,7 +99,8 @@ object Similarity {
     val qSigRow = spark.range(1).select(lshSignature(q, bits).as("s")).head()
     val qSig = qSigRow.getLong(0)
     val probes = probeSigs(qSig, bits, probeHamming)
-    emb.withColumn("sig", lshSignature(col(vecCol), bits))
+    graft.util.Par.fanOut(emb) // per-row signature work off the scan split
+      .withColumn("sig", lshSignature(col(vecCol), bits))
       .filter(col("sig").isin(probes: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
@@ -182,9 +192,12 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       lloydIters: Int = 0): DataFrame = {
+    // refine on the ORIGINAL layout (avg summation order — see
+    // buildIvfIndex); fan out only the per-row assignment
     val centroids = refineCentroids(emb, vecCol,
       sampleCentroids(emb, idCol, vecCol, nCentroids), lloydIters)
-    val assigned = emb.withColumn("ivf_cid", assignCol(centroids, vecCol))
+    val assigned = graft.util.Par.fanOut(emb)
+      .withColumn("ivf_cid", assignCol(centroids, vecCol))
     val q = array(query.map(lit): _*)
     assigned.filter(col("ivf_cid").isin(probeCids(centroids, query, nProbe): _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
@@ -203,12 +216,18 @@ object Similarity {
       path: String, nCentroids: Int = 16, lloydIters: Int = 1): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // fan-out the final assignment (nCentroids cosines per row, pure
+    // per-row — partition-independent). The Lloyd refine pass keeps the
+    // ORIGINAL partitioning on purpose: its avg() is deterministic only up
+    // to float-summation order, and a layout change would drift codebook
+    // low bits and with them the measured recall pins.
+    val e = graft.util.Par.fanOut(emb)
     val centroids = refineCentroids(emb, vecCol,
       sampleCentroids(emb, idCol, vecCol, nCentroids), lloydIters)
     centroids.toSeq.toDF("cid", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     writeEpochPartitioned(
-      emb.withColumn("ivf_cid", assignCol(centroids, vecCol)),
+      e.withColumn("ivf_cid", assignCol(centroids, vecCol)),
       s"$path/vectors", "ivf_cid", epoch = 0L, build = true)
   }
 
@@ -222,7 +241,10 @@ object Similarity {
     * epoch nesting (plan-asserted in the index specs). */
   private def writeEpochPartitioned(df: DataFrame, dir: String,
       listCol: String, epoch: Long, build: Boolean): Unit = {
-    val w = df.withColumn("epoch", lit(epoch))
+    // cluster by the partition column before the partitioned write
+    // (guide §6): each task writes whole lists — ~one file per list
+    // instead of (tasks × lists) shards
+    val w = df.repartition(col(listCol)).withColumn("epoch", lit(epoch))
       .write.mode("overwrite")
     (if (build) w else w.option("partitionOverwriteMode", "dynamic"))
       .partitionBy("epoch", listCol).parquet(dir)
@@ -359,7 +381,11 @@ object Similarity {
     * call). */
   def buildLshIndex(emb: DataFrame, idCol: String, vecCol: String,
       path: String, bits: Int = 12, prefixBits: Int = 6): Unit =
-    writeEpochPartitioned(withLshColumns(emb, vecCol, bits, prefixBits),
+    // fan-out before the signature kernel: a single-file corpus otherwise
+    // computes every row's signature on one scan split (guide §2/§6;
+    // profiled as a 1.4 s single-task stage at sf0.1)
+    writeEpochPartitioned(
+      withLshColumns(graft.util.Par.fanOut(emb), vecCol, bits, prefixBits),
       s"$path/vectors", "lsh_prefix", epoch = 0L, build = true)
 
   /** ANN top-k served from a [[buildLshIndex]] table. Probe set = the query
@@ -402,7 +428,7 @@ object Similarity {
     val qDf = queries.map { case (qid, v) => (qid, v) }.toDF("query_id", "qvec")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col(idCol).asc)
-    emb.crossJoin(broadcast(qDf))
+    graft.util.Par.fanOut(emb).crossJoin(broadcast(qDf))
       .select(col("query_id"), col(idCol),
         round(cosine(col(vecCol), col("qvec")), 6).as("cos"))
       .withColumn("rn", row_number().over(w))
@@ -552,7 +578,11 @@ object Similarity {
     * only. */
   def cosineExactPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    // fan-out the STREAMED side of the nested-loop join: with a
+    // single-file corpus the whole O(n²) cosine evaluation otherwise runs
+    // in one task (profiled 3.1 s at sf0.1 — n² cosines on one core)
+    val a = graft.util.Par.fanOut(
+      emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a")))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
@@ -564,8 +594,12 @@ object Similarity {
     * LSH signature so the self-join never goes all-pairs. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 8): DataFrame = {
-    val sigs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // fan-out before the signature kernel; persist — both self-join sides
+    // read the same signature table
+    val sigs = graft.util.Par.fanOut(
+        emb.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("sig", lshSignature(col("v"), bits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val b = sigs.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("sig"))

@@ -149,31 +149,46 @@ object StreamingDedup {
         .write.mode(SaveMode.Overwrite).parquet(sentinelDir)
     if (batch.isEmpty) return
     val prior = priorSeen(spark, outDir, batchId, idCol, textCol)
+      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cap = Dedup.capForDocs(
       Dedup.indexedDocCount(spark, indexPath)
         + prior.map(_.count()).getOrElse(0L) + batch.count())
-    // vs the indexed corpus + within-batch (smaller id survives)
+    // vs the indexed corpus + within-batch (smaller id survives).
+    // s1 feeds the cross-check's banding + shingles AND the final
+    // left_anti; the cross pair set feeds both victim branches — persist
+    // both so each probe DAG is evaluated once, not once per consumer
+    // (r8; unpersisted after the writes below)
     val s1 = Dedup.incrementalNewDocs(spark, indexPath, batch, idCol,
       textCol, maxBucket = cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cross: Option[org.apache.spark.sql.DataFrame] = None
     val survivors = prior match {
       case None => s1
       case Some(prior) =>
         // ANY verified pair with a previously-seen doc kills the new doc
         // (first occurrence wins — see the object scaladoc for why seen,
         // not accepted, is the set that matches the batch rule)
-        val cross = Dedup.deltaTrueJaccardPairs(prior, s1, idCol, textCol,
+        val c = Dedup.deltaTrueJaccardPairs(prior, s1, idCol, textCol,
           maxBucket = cap)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cross = Some(c)
         val pIds = prior.select(col(idCol).as("pid"))
-        val victims = cross.join(pIds, col("id_a") === col("pid"))
+        val victims = c.join(pIds, col("id_a") === col("pid"))
             .select(col("id_b").as("victim"))
-          .unionByName(cross.join(pIds, col("id_b") === col("pid"))
+          .unionByName(c.join(pIds, col("id_b") === col("pid"))
             .select(col("id_a").as("victim")))
           .distinct()
         s1.join(victims, s1(idCol) === col("victim"), "left_anti")
     }
-    writeDynamic(batch.select(col(idCol), col(textCol)),
-      s"$outDir/seen", batchId)
-    writeDynamic(survivors, s"$outDir/accepted", batchId)
+    try {
+      writeDynamic(batch.select(col(idCol), col(textCol)),
+        s"$outDir/seen", batchId)
+      writeDynamic(survivors, s"$outDir/accepted", batchId)
+    } finally {
+      s1.unpersist(false)
+      cross.foreach(_.unpersist(false))
+      prior.foreach(_.unpersist(false))
+    }
   }
 
   /** Every doc from STRICTLY EARLIER batches still in the un-folded tail —
