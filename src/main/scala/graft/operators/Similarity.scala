@@ -192,12 +192,13 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       lloydIters: Int = 0): DataFrame = {
-    // refine on the ORIGINAL layout (avg summation order — see
-    // buildIvfIndex); fan out only the per-row assignment
+    // NO fan-out here (r8 A/B): the assignment is nCentroids cosines per
+    // row — trivial next to the text-signature kernels Par.fanOut exists
+    // for — and the inserted exchange measured a net LOSS on this surface
+    // (sim_ivf_topk 0.28 → 0.42 s at sf0.1)
     val centroids = refineCentroids(emb, vecCol,
       sampleCentroids(emb, idCol, vecCol, nCentroids), lloydIters)
-    val assigned = graft.util.Par.fanOut(emb)
-      .withColumn("ivf_cid", assignCol(centroids, vecCol))
+    val assigned = emb.withColumn("ivf_cid", assignCol(centroids, vecCol))
     val q = array(query.map(lit): _*)
     assigned.filter(col("ivf_cid").isin(probeCids(centroids, query, nProbe): _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos"))
@@ -216,19 +217,23 @@ object Similarity {
       path: String, nCentroids: Int = 16, lloydIters: Int = 1): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // fan-out the final assignment (nCentroids cosines per row, pure
-    // per-row — partition-independent). The Lloyd refine pass keeps the
+    // NO fan-out, NO pre-write clustering for the IVF build (r8 A/B —
+    // reverted): assignment is nCentroids cosines per row (trivial; the
+    // fan-out exchange cost more than it saved, sim_ivf_indexed
+    // 1.16 → 1.32 s at sf0.1), and clustering by a 16-value ivf_cid caps
+    // write parallelism at nCentroids tasks — an anti-scale move. File
+    // scatter is bounded by tasks × nCentroids and [[compactVectorIndex]]
+    // exists to bound small-file growth. The Lloyd refine pass keeps the
     // ORIGINAL partitioning on purpose: its avg() is deterministic only up
     // to float-summation order, and a layout change would drift codebook
     // low bits and with them the measured recall pins.
-    val e = graft.util.Par.fanOut(emb)
     val centroids = refineCentroids(emb, vecCol,
       sampleCentroids(emb, idCol, vecCol, nCentroids), lloydIters)
     centroids.toSeq.toDF("cid", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     writeEpochPartitioned(
-      e.withColumn("ivf_cid", assignCol(centroids, vecCol)),
-      s"$path/vectors", "ivf_cid", epoch = 0L, build = true)
+      emb.withColumn("ivf_cid", assignCol(centroids, vecCol)),
+      s"$path/vectors", "ivf_cid", epoch = 0L, build = true, cluster = false)
   }
 
   /** Shared epoch-scoped vectors writer of both persisted ANN indexes:
@@ -240,11 +245,18 @@ object Similarity {
     * pruning on `listCol` (ivf_cid / lsh_prefix) is unaffected by the
     * epoch nesting (plan-asserted in the index specs). */
   private def writeEpochPartitioned(df: DataFrame, dir: String,
-      listCol: String, epoch: Long, build: Boolean): Unit = {
-    // cluster by the partition column before the partitioned write
-    // (guide §6): each task writes whole lists — ~one file per list
-    // instead of (tasks × lists) shards
-    val w = df.repartition(col(listCol)).withColumn("epoch", lit(epoch))
+      listCol: String, epoch: Long, build: Boolean,
+      cluster: Boolean = true): Unit = {
+    // cluster=true: repartition by the partition column before the
+    // partitioned write (guide §6) — each task writes whole lists, ~one
+    // file per list instead of (tasks × lists) shards. Only worth it when
+    // the list column has enough distinct values to keep the write
+    // parallel (LSH: 2^prefixBits = 64 prefixes — measured win); the IVF
+    // build passes cluster=false because hashing 16 cids caps the write
+    // at 16 tasks and the exchange measured a net loss (buildIvfIndex
+    // scaladoc).
+    val c = if (cluster) df.repartition(col(listCol)) else df
+    val w = c.withColumn("epoch", lit(epoch))
       .write.mode("overwrite")
     (if (build) w else w.option("partitionOverwriteMode", "dynamic"))
       .partitionBy("epoch", listCol).parquet(dir)
@@ -270,7 +282,7 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
     writeEpochPartitioned(
       delta.withColumn("ivf_cid", assignCol(centroids, vecCol)),
-      s"$path/vectors", "ivf_cid", epoch, build = false)
+      s"$path/vectors", "ivf_cid", epoch, build = false, cluster = false)
   }
 
   /** The (lsh_sig, lsh_prefix) signature derivation shared by the LSH
@@ -428,7 +440,12 @@ object Similarity {
     val qDf = queries.map { case (qid, v) => (qid, v) }.toDF("query_id", "qvec")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col(idCol).asc)
-    graft.util.Par.fanOut(emb).crossJoin(broadcast(qDf))
+    // NO fan-out (r8 A/B — reverted): both recall surfaces hand this an
+    // index READ-BACK that is already multi-split (one split per partition
+    // dir); for IVF (16 dirs < 32 cores) the fan-out re-shuffled every
+    // vector for a 20-way broadcast nested loop that the window shuffle
+    // re-distributes anyway — sim_ivf_recall 1.30 → 1.92 s at sf0.1
+    emb.crossJoin(broadcast(qDf))
       .select(col("query_id"), col(idCol),
         round(cosine(col(vecCol), col("qvec")), 6).as("cos"))
       .withColumn("rn", row_number().over(w))
