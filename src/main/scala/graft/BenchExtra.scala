@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
 object BenchExtra {
 
   private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores)
@@ -30,6 +30,12 @@ object BenchExtra {
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.shuffle.file.buffer", "256k")
       .config("spark.ui.enabled", "false")
+    // BENCHX_CONF="k=v;k=v": measurement-only conf overrides for A/B
+    // experiments (never the bench contract — Bench.scala is frozen)
+    val s = sys.env.get("BENCHX_CONF").map(_.split(";").filter(_.contains("="))
+        .foldLeft(b) { (bb, kv) =>
+          val Array(k, v) = kv.split("=", 2); bb.config(k, v)
+        }).getOrElse(b)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -38,6 +44,46 @@ object BenchExtra {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // kg mode: time the scaling-block DAG (Pipeline.triples at mult× the
+    // sf corpus — what the frozen Bench's kgRun measures) outside the
+    // 45-minute protocol. Usage: runMain graft.BenchExtra kg <mult> [reps]
+    if (args.headOption.contains("kg")) {
+      val mult = args.lift(1).map(_.toInt).getOrElse(64)
+      val reps = args.lift(2).map(_.toInt).getOrElse(2)
+      val s = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      if (sys.env.contains("BENCHX_STAGES"))
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val wall = (for { t0 <- si.submissionTime; t1 <- si.completionTime }
+              yield (t1 - t0) / 1e3).getOrElse(-1.0)
+            val m = si.taskMetrics
+            stages.add(f"  stage ${si.stageId}%4d tasks=${si.numTasks}%4d " +
+              f"wall=$wall%7.2f run=${m.executorRunTime / 1e3}%8.2f " +
+              f"gc=${m.jvmGCTime / 1e3}%6.2f shR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+              f"shW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+              si.name.takeWhile(_ != '\n').take(60))
+          }
+        })
+      val base = SparkEntry.cfgOf(sfDir)
+      val cfg = base.copy(nConvs = base.nConvs * mult)
+      (1 to reps).foreach { r =>
+        stages.clear()
+        s.sparkContext.setJobDescription(s"kg mult=$mult rep $r")
+        val t0 = System.nanoTime()
+        val n = Pipeline.triples(s, cfg).count()
+        println(f"BENCHKG mult=$mult rep=$r n=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+        if (sys.env.contains("BENCHX_STAGES")) {
+          Thread.sleep(300); stages.forEach(l => println(l)); stages.clear()
+        }
+        s.catalog.clearCache()
+        s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      s.stop()
+      return
+    }
     val explain = args.headOption.contains("explain")
     val (reps, names0) =
       if (explain) (1, args.drop(1).toSeq)

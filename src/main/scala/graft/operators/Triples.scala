@@ -87,11 +87,25 @@ object Triples {
         lit(null).cast("string").as("icd10_name"))
   }
 
-  /** All four predicates unioned into one graph table. */
+  /** All four predicates unioned into one graph table.
+    *
+    * The explicit no-op filter on the shared `turnAgg` aligns both of its
+    * consumers on the join-key null predicates the asserts branch's inner
+    * role join INFERS and pushes below the aggregate anyway
+    * (InferFiltersFromConstraints): without it the mentions and asserts
+    * subtrees differ by exactly that pushed `isnotnull`, canonicalize
+    * unequal, and ReuseExchange cannot dedup the dominant
+    * extraction→perTurn exchange — each branch then re-runs the FULL
+    * extraction (guide §2.4: remove shuffles outright; r8 measured the two
+    * duplicate 204 MB map stages collapsing to one, flagship mult=64
+    * 11.5 → 8.1 s at local[32]). `conv_id`/`turn_idx` are never null by
+    * construction (deterministic id grammar), so results are unchanged —
+    * oracle-verified. */
   def all(turnAgg: DataFrame, turns: DataFrame): Dataset[Triple] = {
     import turns.sparkSession.implicits._
-    mentionsTriples(turnAgg)
-      .unionByName(assertsTriples(turnAgg, turns))
+    val ta = turnAgg.filter(col("conv_id").isNotNull && col("turn_idx").isNotNull)
+    mentionsTriples(ta)
+      .unionByName(assertsTriples(ta, turns))
       .unionByName(usesToolTriples(turns))
       .unionByName(repliesToTriples(turns))
       .as[Triple]
