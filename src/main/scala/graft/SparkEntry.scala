@@ -544,7 +544,12 @@ object SparkEntry {
     "dd_stream" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val docs = t(s, dir, "documents")
+      // shared fanned checkpoint: the index build and the delta collect
+      // otherwise each re-decode the whole single-split parquet text
+      // column serially (see dd_incremental)
+      val docs = graft.util.Par.fanOut(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .localCheckpoint()
       val idx = java.nio.file.Files.createTempDirectory("graft_sdd_idx")
       val out = java.nio.file.Files.createTempDirectory("graft_sdd_out")
       val ck = java.nio.file.Files.createTempDirectory("graft_sdd_ck")
@@ -584,7 +589,14 @@ object SparkEntry {
     // touching the delta — the same O(n²) oracle SQL as the recall
     // surfaces, delta-restricted
     "dd_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // ONE fanned-out eager checkpoint of (id, text): the corpus (index
+      // build) and delta (probe) sides otherwise each re-decode the whole
+      // single-split parquet text column serially (~1.1 s single-task scan
+      // APIECE at sf0.1 — the %5 filter can't push below the page decode).
+      // Same rows either way; r8, guide §1.2/§6.
+      val docs = graft.util.Par.fanOut(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .localCheckpoint()
       val idx = java.nio.file.Files.createTempDirectory("graft_mh_idx")
       org.apache.commons.io.FileUtils.forceDeleteOnExit(idx.toFile)
       Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 5 =!= 4),
@@ -599,7 +611,10 @@ object SparkEntry {
     // verified match in the corpus, none to a smaller-id delta doc) —
     // the rule restated in plain SQL as the oracle
     "dd_incremental_new" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // shared fanned checkpoint: see dd_incremental
+      val docs = graft.util.Par.fanOut(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .localCheckpoint()
       val idx = java.nio.file.Files.createTempDirectory("graft_mh_idx2")
       org.apache.commons.io.FileUtils.forceDeleteOnExit(idx.toFile)
       Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 5 =!= 4),

@@ -538,15 +538,20 @@ object Dedup {
     // signature kernel upstream runs parallel (fan-out inside
     // bandedMinhash) instead of on the source's scan splits
     val src = corpusSrc(df, idCol, textCol)
-    bandedMinhash(src, idCol, textCol, m, bands, k)
-      .withColumn("bshard", pmod(col("bkey"), lit(nShards.toLong)))
-      .repartition(col("bshard"))
-      .withColumn("epoch", lit(0L))
-      .write.mode("overwrite").partitionBy("epoch", "bshard")
-      .parquet(s"$path/bands")
-    shingleTable(src, idCol, textCol, k)
-      .withColumn("epoch", lit(0L))
-      .write.mode("overwrite").partitionBy("epoch").parquet(s"$path/docs")
+    // the bands and docs writes are INDEPENDENT jobs over the same source
+    // — run them concurrently so one job's kernel/commit back-fills the
+    // other's straggler tail (guide §2.6). meta is the commit marker and
+    // stays strictly after both.
+    Par.concurrently(
+      bandedMinhash(src, idCol, textCol, m, bands, k)
+        .withColumn("bshard", pmod(col("bkey"), lit(nShards.toLong)))
+        .repartition(col("bshard"))
+        .withColumn("epoch", lit(0L))
+        .write.mode("overwrite").partitionBy("epoch", "bshard")
+        .parquet(s"$path/bands"),
+      shingleTable(src, idCol, textCol, k)
+        .withColumn("epoch", lit(0L))
+        .write.mode("overwrite").partitionBy("epoch").parquet(s"$path/docs"))
     // FULL doc count (short docs included — `docs` excludes them), so the
     // incremental cap is computed on the same corpus∪delta count as the
     // batch path's effectiveCap(df) and the equality contract holds on
@@ -597,6 +602,19 @@ object Dedup {
       path: String): Long =
     spark.read.parquet(s"$path/meta")
       .agg(sum(col("n_docs"))).head().getLong(0)
+
+  /** One bounded read of the index meta — (epoch, n_docs) per committed
+    * append. Callers that need BOTH the commit-epoch gate and the doc-count
+    * cap basis (the streaming micro-batch: cap + probe) read it once and
+    * hand it to [[incrementalTrueJaccardPairs]] / [[incrementalNewDocs]]
+    * via `meta`, instead of paying a second meta listing+collect job per
+    * micro-batch (guide §1.2: fixed per-job latency is the streaming
+    * path's dominant term). */
+  def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Long, Long)] =
+    spark.read.parquet(s"$path/meta")
+      .select(col("epoch").cast("long"), col("n_docs").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
 
   /** The corpus-sized bucket cap for an explicitly-known doc count —
     * public so callers that assemble the basis themselves (the streaming
@@ -740,7 +758,8 @@ object Dedup {
   def incrementalTrueJaccardPairs(spark: org.apache.spark.sql.SparkSession,
       path: String, delta: DataFrame, idCol: String, textCol: String,
       m: Int = 32, bands: Int = 16, trueThreshold: Double = 0.5, k: Int = 3,
-      nShards: Int = 64, maxBucket: Int = 0): DataFrame = {
+      nShards: Int = 64, maxBucket: Int = 0,
+      meta: Option[Array[(Long, Long)]] = None): DataFrame = {
     // the delta is read ≥3 times below (banding, shingles, count) and its
     // upstream may be an arbitrary transformation: one eager local
     // checkpoint evaluates that lineage exactly once (delta = an ingest
@@ -761,10 +780,10 @@ object Dedup {
     // or the verify join silently drops that epoch's pairs while the cap
     // basis undercounts. Bounded collect: one meta row per append — ONE
     // read serves both the epoch gate and the cap basis's doc count
-    // (previously two separate meta scans/jobs).
-    val metaRows = spark.read.parquet(s"$path/meta")
-      .select(col("epoch").cast("long"), col("n_docs").cast("long")).collect()
-    val committedEpochs = metaRows.map(_.getLong(0))
+    // (previously two separate meta scans/jobs), and a caller that already
+    // read the meta (the streaming micro-batch's cap basis) hands it in.
+    val metaRows = meta.getOrElse(readIndexMeta(spark, path))
+    val committedEpochs = metaRows.map(_._1)
     // explicit selects: the index tables carry an `epoch` partition
     // column (replay scoping) the probe must not leak into its joins
     val idxDocs = spark.read.parquet(s"$path/docs")
@@ -779,7 +798,7 @@ object Dedup {
     // basis as the batch path (the `docs` shingle table undercounts by the
     // short docs); by-name, so a fixed positive maxBucket skips the
     // delta count entirely
-    val cap = effectiveCapN(metaRows.map(_.getLong(1)).sum + d.count(), maxBucket)
+    val cap = effectiveCapN(metaRows.map(_._2).sum + d.count(), maxBucket)
     val sh = idxDocs.unionByName(shingleTable(d, idCol, textCol, k))
     deltaPairsFromBanded(idxBanded, deltaBanded, sh, cap, trueThreshold)
   }
@@ -835,11 +854,12 @@ object Dedup {
   def incrementalNewDocs(spark: org.apache.spark.sql.SparkSession,
       path: String, delta: DataFrame, idCol: String, textCol: String,
       m: Int = 32, bands: Int = 16, trueThreshold: Double = 0.5, k: Int = 3,
-      nShards: Int = 64, maxBucket: Int = 0): DataFrame = {
+      nShards: Int = 64, maxBucket: Int = 0,
+      meta: Option[Array[(Long, Long)]] = None): DataFrame = {
     // the verified pair set feeds BOTH victim branches below: persist so
     // the whole probe DAG (index scan + banding + verify) runs once
     val pairs = incrementalTrueJaccardPairs(spark, path, delta, idCol,
-      textCol, m, bands, trueThreshold, k, nShards, maxBucket)
+      textCol, m, bands, trueThreshold, k, nShards, maxBucket, meta)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deltaIds = delta.select(col(idCol).as("did"))
     // victims: the greater side of any pair is always dropped when it is

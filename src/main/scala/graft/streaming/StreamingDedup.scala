@@ -150,8 +150,12 @@ object StreamingDedup {
     if (batch.isEmpty) return
     val prior = priorSeen(spark, outDir, batchId, idCol, textCol)
       .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // ONE meta read serves the cap basis here AND the probe's commit-epoch
+    // gate below (r8: previously indexedDocCount + the probe each paid a
+    // meta listing+collect job per micro-batch)
+    val meta = Dedup.readIndexMeta(spark, indexPath)
     val cap = Dedup.capForDocs(
-      Dedup.indexedDocCount(spark, indexPath)
+      meta.map(_._2).sum
         + prior.map(_.count()).getOrElse(0L) + batch.count())
     // vs the indexed corpus + within-batch (smaller id survives).
     // s1 feeds the cross-check's banding + shingles AND the final
@@ -159,7 +163,7 @@ object StreamingDedup {
     // both so each probe DAG is evaluated once, not once per consumer
     // (r8; unpersisted after the writes below)
     val s1 = Dedup.incrementalNewDocs(spark, indexPath, batch, idCol,
-      textCol, maxBucket = cap)
+      textCol, maxBucket = cap, meta = Some(meta))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cross: Option[org.apache.spark.sql.DataFrame] = None
     val survivors = prior match {

@@ -13,6 +13,32 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
 
+  /** Small daemon pool for overlapping INDEPENDENT write jobs inside one
+    * operator (guide §2.6: Spark happily runs several jobs at once; actions
+    * are only sequential because driver code calls them sequentially).
+    * Two threads: enough to back-fill one job's straggler tail with the
+    * other's work, not enough to thrash the scheduler. */
+  lazy val ioPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(2,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-par-io")
+          t.setDaemon(true)
+          t
+        }))
+
+  /** Run both thunks as concurrent Spark jobs and propagate the first
+    * failure (both are awaited either way). */
+  def concurrently(a: => Unit, b: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = ioPool
+    val fa = Future(a)
+    val fb = Future(b)
+    Await.result(fa, Duration.Inf)
+    Await.result(fb, Duration.Inf)
+  }
+
   /** Round-robin repartition `df` to the session's default parallelism IF
     * its current physical partitioning is narrower — otherwise return it
     * unchanged (no shuffle). The shuffle this inserts moves only the
