@@ -185,9 +185,16 @@ object StreamingDedup {
         s1.join(victims, s1(idCol) === col("victim"), "left_anti")
     }
     try {
-      writeDynamic(batch.select(col(idCol), col(textCol)),
-        s"$outDir/seen", batchId)
-      writeDynamic(survivors, s"$outDir/accepted", batchId)
+      // the seen journal and the survivors are INDEPENDENT writes to
+      // disjoint dirs — run them as concurrent jobs (guide §2.6). Ordering
+      // between them was never load-bearing: a crash between the two
+      // leaves a half-committed batch in EITHER order, and the batch-id-
+      // scoped dynamic overwrite of the replayed batchId heals both
+      // (replay-after-later-batches is Round5/7Spec-tested).
+      graft.util.Par.concurrently(
+        writeDynamic(batch.select(col(idCol), col(textCol)),
+          s"$outDir/seen", batchId),
+        writeDynamic(survivors, s"$outDir/accepted", batchId))
     } finally {
       s1.unpersist(false)
       cross.foreach(_.unpersist(false))
