@@ -84,6 +84,49 @@ object BenchExtra {
       s.stop()
       return
     }
+    // dbg: one-off decomposition timings for optimization work
+    if (args.headOption.contains("dbg")) {
+      val s = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      import org.apache.spark.sql.functions.col
+      if (sys.env.contains("BENCHX_STAGES"))
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val wall = (for { t0 <- si.submissionTime; t1 <- si.completionTime }
+              yield (t1 - t0) / 1e3).getOrElse(-1.0)
+            val sub = si.submissionTime.map(t => (t % 100000) / 1e3).getOrElse(-1.0)
+            println(f"  stage ${si.stageId}%4d tasks=${si.numTasks}%4d " +
+              f"sub=$sub%7.2f wall=$wall%6.2f run=${si.taskMetrics.executorRunTime / 1e3}%7.2f " +
+              si.name.takeWhile(_ != '\n').take(70) + " | " +
+              si.details.linesIterator.filter(_.contains("graft")).take(2).mkString(" <- "))
+          }
+        })
+      def time[T](tag: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"DBG $tag%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
+      (1 to 2).foreach { rep =>
+        println(s"--- rep $rep")
+        val raw = s.read.parquet(sfDir + "/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        time("scan.count")(raw.count())
+        time("scan.noop")(raw.write.format("noop").mode("overwrite").save())
+        val fanned = graft.util.Par.fanOut(raw)
+        time("fanout.noop")(fanned.write.format("noop").mode("overwrite").save())
+        val ck = time("fanout.localCheckpoint")(fanned.localCheckpoint())
+        val idx = java.nio.file.Files.createTempDirectory("graft_dbg_idx")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(idx.toFile)
+        time("buildMinhashIndex")(graft.operators.Dedup.buildMinhashIndex(
+          ck.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", idx.toString))
+        time("probe.count")(graft.operators.Dedup.incrementalTrueJaccardPairs(
+          s, idx.toString, ck.filter(col("doc_id") % 5 === 4), "doc_id", "text").count())
+        s.catalog.clearCache()
+        s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      s.stop()
+      return
+    }
     val explain = args.headOption.contains("explain")
     val (reps, names0) =
       if (explain) (1, args.drop(1).toSeq)

@@ -545,7 +545,13 @@ object Dedup {
     Par.concurrently(
       bandedMinhash(src, idCol, textCol, m, bands, k)
         .withColumn("bshard", pmod(col("bkey"), lit(nShards.toLong)))
-        .repartition(col("bshard"))
+        // EXPLICIT partition count: a bare repartition(col) is an AQE-
+        // coalescible exchange, and on a small corpus AQE folds it to ONE
+        // partition — a single task then writes all nShards partition
+        // dirs serially (profiled 1.1 s of the 2.6 s build at sf0.1).
+        // Pinning to defaultParallelism keeps the write as parallel as
+        // the session at every scale; each task still holds whole shards.
+        .repartition(spark.sparkContext.defaultParallelism, col("bshard"))
         .withColumn("epoch", lit(0L))
         .write.mode("overwrite").partitionBy("epoch", "bshard")
         .parquet(s"$path/bands"),

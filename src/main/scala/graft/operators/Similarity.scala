@@ -254,8 +254,18 @@ object Similarity {
     // parallel (LSH: 2^prefixBits = 64 prefixes — measured win); the IVF
     // build passes cluster=false because hashing 16 cids caps the write
     // at 16 tasks and the exchange measured a net loss (buildIvfIndex
-    // scaladoc).
-    val c = if (cluster) df.repartition(col(listCol)) else df
+    // scaladoc). The BUILD pins an explicit partition count: a bare
+    // repartition(col) is AQE-coalescible and a small corpus folds it to
+    // ONE partition — a single task then writes every list dir serially
+    // (the same pathology profiled in Dedup.buildMinhashIndex). Appends
+    // stay coalescible on purpose: a tiny delta SHOULD collapse to one
+    // file per touched dir.
+    val c =
+      if (cluster && build)
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+          col(listCol))
+      else if (cluster) df.repartition(col(listCol))
+      else df
     val w = c.withColumn("epoch", lit(epoch))
       .write.mode("overwrite")
     (if (build) w else w.option("partitionOverwriteMode", "dynamic"))
