@@ -555,13 +555,20 @@ object SparkEntry {
       val ck = java.nio.file.Files.createTempDirectory("graft_sdd_ck")
       Seq(idx, out, ck).foreach(p =>
         org.apache.commons.io.FileUtils.forceDeleteOnExit(p.toFile))
-      operators.Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 5 =!= 4),
-        "doc_id", "text", idx.toString)
+      // the index build (corpus side) and the delta collect (stream-source
+      // synthesis) are independent reads of the shared checkpoint — run
+      // them as concurrent jobs (guide §2.6); the stream starts only after
+      // both complete, exactly as before.
       // bounded driver materialization: the delta is the stream SOURCE
       // being synthesized (id-sorted so batch boundaries are deterministic)
-      val delta = docs.filter(col("doc_id") % 5 === 4)
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      var delta: Seq[(Long, String)] = null
+      graft.util.Par.concurrently(
+        operators.Dedup.buildMinhashIndex(
+          docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
+          idx.toString),
+        { delta = docs.filter(col("doc_id") % 5 === 4)
+            .select(col("doc_id").cast("long"), col("text"))
+            .as[(Long, String)].collect().sortBy(_._1).toSeq })
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
       val q = graft.streaming.StreamingDedup.start(

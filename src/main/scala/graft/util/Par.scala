@@ -13,30 +13,24 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
 
-  /** Small daemon pool for overlapping INDEPENDENT write jobs inside one
-    * operator (guide §2.6: Spark happily runs several jobs at once; actions
-    * are only sequential because driver code calls them sequentially).
-    * Two threads: enough to back-fill one job's straggler tail with the
-    * other's work, not enough to thrash the scheduler. */
-  lazy val ioPool: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(2,
-        (r: Runnable) => {
-          val t = new Thread(r, "graft-par-io")
-          t.setDaemon(true)
-          t
-        }))
-
-  /** Run both thunks as concurrent Spark jobs and propagate the first
-    * failure (both are awaited either way). */
+  /** Run two INDEPENDENT driver actions as concurrent Spark jobs
+    * (guide §2.6: Spark happily runs several jobs at once; actions are
+    * only sequential because driver code calls them sequentially). `a`
+    * runs on a fresh daemon thread, `b` on the caller's thread — no
+    * shared pool, so NESTED calls (e.g. a caller overlapping an index
+    * build that itself overlaps its two table writes) can never
+    * pool-starve into a deadlock. Both sides always complete; the first
+    * failure is rethrown. */
   def concurrently(a: => Unit, b: => Unit): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: scala.concurrent.ExecutionContext = ioPool
-    val fa = Future(a)
-    val fb = Future(b)
-    Await.result(fa, Duration.Inf)
-    Await.result(fb, Duration.Inf)
+    @volatile var ea: Throwable = null
+    val t = new Thread(() => try a catch { case x: Throwable => ea = x },
+      "graft-par")
+    t.setDaemon(true)
+    t.start()
+    val eb = try { b; null } catch { case x: Throwable => x }
+    t.join()
+    if (ea != null) throw ea
+    if (eb != null) throw eb
   }
 
   /** Round-robin repartition `df` to the session's default parallelism IF
